@@ -1,0 +1,25 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on virtual CPU devices
+(``xla_force_host_platform_device_count``); real-TPU paths are exercised
+by bench.py / the driver instead.
+"""
+
+import os
+
+# hard-set (not setdefault): the ambient environment exports
+# JAX_PLATFORMS=axon (the real TPU), but unit tests must run on the
+# virtual CPU mesh, with x64 available for the f64 parity tests
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_ENABLE_X64"] = "true"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+# jax may already be imported by a pytest plugin before this conftest runs,
+# in which case the env vars above were read too late — force via config
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
