@@ -1,0 +1,1 @@
+"""CLI entry points (reference wavenet_vocoder/bin/ equivalents)."""

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Decoder CLI — batched AR synthesis.
+
+Equivalent of the reference decoder (`bin/decode.py:177-338`), consuming
+the same 3-file model bundle (checkpoint + model.conf + stats.h5) and
+writing PCM-16 wavs.  The reference forks one process per GPU and runs a
+per-sample Python loop (`decode.py:274-338`); here the whole fleet is one
+``lax.scan`` decode with the batch dim sharded over the device mesh
+(``--n_devices``; ``--n_gpus`` alias).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import numpy as np
+
+from pytorchwavenetvocoder_tpu.bin.common import configure_logging, echo_args
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Decode with a trained WaveNet")
+    parser.add_argument("--feats", required=True, type=str,
+                        help="directory or list of aux feat files")
+    parser.add_argument("--stats", required=True, type=str,
+                        help="hdf5 file including statistics")
+    parser.add_argument("--checkpoint", required=True, type=str,
+                        help="model checkpoint to use")
+    parser.add_argument("--config", required=True, type=str,
+                        help="model.conf path (or its directory)")
+    parser.add_argument("--outdir", required=True, type=str,
+                        help="directory to save generated wavs")
+    parser.add_argument("--fs", default=16000, type=int)
+    parser.add_argument("--batch_size", default=32, type=int,
+                        help="number of utterances decoded in lockstep")
+    parser.add_argument("--n_devices", "--n_gpus", dest="n_devices",
+                        default=1, type=int)
+    parser.add_argument("--mode", default="sampling",
+                        choices=["sampling", "argmax"])
+    parser.add_argument("--seed", default=1, type=int)
+    parser.add_argument("--verbose", default=1, type=int)
+    return parser
+
+
+def main(argv=None) -> None:
+    args = get_parser().parse_args(argv)
+    configure_logging(args.verbose)
+    echo_args(args)
+
+    import jax
+
+    from pytorchwavenetvocoder_tpu.data import decode_generator
+    from pytorchwavenetvocoder_tpu.models.wavenet import (
+        WaveNetConfig,
+        batch_fast_generate,
+    )
+    from pytorchwavenetvocoder_tpu.ops.mulaw import decode_mu_law, encode_mu_law
+    from pytorchwavenetvocoder_tpu.ops.scaler import StandardScaler
+    from pytorchwavenetvocoder_tpu.parallel import make_mesh
+    from pytorchwavenetvocoder_tpu.parallel.checkpoint import (
+        load_checkpoint,
+        load_model_conf,
+    )
+    from pytorchwavenetvocoder_tpu.utils import find_files, read_txt, write_wav
+
+    conf = load_model_conf(args.config)
+    config = WaveNetConfig.from_dict(conf)
+    if not conf.get("use_upsampling_layer", True):
+        import dataclasses
+
+        config = dataclasses.replace(config, upsampling_factor=0)
+    logging.info("model config: %s", config)
+
+    payload = load_checkpoint(args.checkpoint)
+    params = jax.tree.map(lambda v: v, payload["model"])
+    logging.info("loaded %d-iter checkpoint", payload.get("iterations", -1))
+
+    scaler = StandardScaler()
+    from pytorchwavenetvocoder_tpu.utils import read_hdf5
+
+    feature_type = conf.get("feature_type", "world")
+    scaler.mean_ = read_hdf5(args.stats, "/" + feature_type + "/mean")
+    scaler.scale_ = read_hdf5(args.stats, "/" + feature_type + "/scale")
+
+    if os.path.isdir(args.feats):
+        feat_list = sorted(find_files(args.feats, "*.h5"))
+    else:
+        feat_list = read_txt(args.feats)
+    logging.info("number of utterances = %d", len(feat_list))
+
+    mesh = None
+    n_devices = min(args.n_devices, len(jax.devices()))
+    if n_devices > 1:
+        mesh = make_mesh(n_devices)
+
+    upsampling_factor = conf.get("upsampling_factor", 80)
+    use_upsampling_layer = conf.get("use_upsampling_layer", True)
+    generator = decode_generator(
+        feat_list,
+        batch_size=args.batch_size,
+        feature_type=feature_type,
+        wav_transform=lambda x: encode_mu_law(x, config.n_quantize),
+        feat_transform=scaler.transform,
+        upsampling_factor=upsampling_factor,
+        use_upsampling_layer=use_upsampling_layer,
+        use_speaker_code=conf.get("use_speaker_code", False),
+    )
+
+    os.makedirs(args.outdir, exist_ok=True)
+    rng = jax.random.PRNGKey(args.seed)
+    for feat_ids, (x, h, n_samples) in generator:
+        if not isinstance(feat_ids, list):
+            feat_ids, x_h_n = [feat_ids], (x, h, [n_samples])
+            x, h, n_samples = x_h_n
+        # pad the batch to a device-mesh multiple (masked rows are free —
+        # lockstep scan cost is set by the longest utterance only)
+        B = x.shape[0]
+        if mesh is not None and B % n_devices != 0:
+            pad = n_devices - B % n_devices
+            x = np.concatenate([x, np.tile(x[-1:], (pad, 1))], axis=0)
+            h = np.concatenate([h, np.tile(h[-1:], (pad, 1, 1))], axis=0)
+            n_samples = list(n_samples) + [int(n_samples[-1])] * pad
+        rng, key = jax.random.split(rng)
+        start = time.time()
+        samples_list = batch_fast_generate(
+            params, config, x, h, list(n_samples), mode=args.mode,
+            rng=key, mesh=mesh)
+        elapsed = time.time() - start
+        n_gen = sum(int(n) for n in n_samples[:B])
+        logging.info("batch of %d utts: %d samples in %.2f s "
+                     "(%.1f samples/sec, RTF x%.2f)", B, n_gen, elapsed,
+                     n_gen / elapsed, n_gen / elapsed / args.fs)
+        for feat_id, samples in zip(feat_ids, samples_list[:B]):
+            wav = decode_mu_law(samples, config.n_quantize)
+            path = os.path.join(args.outdir, feat_id + ".wav")
+            write_wav(path, wav.astype(np.float32), args.fs)
+            logging.info("wrote %s (%d samples)", path, len(wav))
+
+
+if __name__ == "__main__":
+    main()

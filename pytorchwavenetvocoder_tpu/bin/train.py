@@ -1,0 +1,217 @@
+#!/usr/bin/env python
+"""Trainer CLI.
+
+TPU-native equivalent of the reference trainer (`bin/train.py:335-568`):
+same flag surface and on-disk contract (expdir with ``model.conf`` +
+``checkpoint-<iter>.pkl``), but the step is a sharding-annotated jit over
+a device mesh (``--n_devices``; ``--n_gpus`` kept as an alias) instead of
+``nn.DataParallel``, and the model config is JSON instead of a pickled
+argparse Namespace.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+from pytorchwavenetvocoder_tpu.bin.common import (
+    configure_logging,
+    echo_args,
+    strtobool,
+)
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Train a WaveNet vocoder on TPU")
+    # path setting (reference train.py:339-348)
+    parser.add_argument("--waveforms", required=True, type=str,
+                        help="directory or list of wav files")
+    parser.add_argument("--feats", required=True, type=str,
+                        help="directory or list of aux feat files")
+    parser.add_argument("--stats", required=True, type=str,
+                        help="hdf5 file including statistics")
+    parser.add_argument("--expdir", required=True, type=str,
+                        help="directory to save the model")
+    parser.add_argument("--feature_type", default="world",
+                        choices=["world", "melspc"], type=str)
+    # network structure (reference train.py:350-369)
+    parser.add_argument("--n_quantize", default=256, type=int)
+    parser.add_argument("--n_aux", default=28, type=int)
+    parser.add_argument("--n_resch", default=512, type=int)
+    parser.add_argument("--n_skipch", default=256, type=int)
+    parser.add_argument("--dilation_depth", default=10, type=int)
+    parser.add_argument("--dilation_repeat", default=1, type=int)
+    parser.add_argument("--kernel_size", default=2, type=int)
+    parser.add_argument("--upsampling_factor", default=80, type=int)
+    parser.add_argument("--use_upsampling_layer", default=True, type=strtobool)
+    parser.add_argument("--use_speaker_code", default=False, type=strtobool)
+    # training setting (reference train.py:371-380)
+    parser.add_argument("--lr", default=1e-4, type=float)
+    parser.add_argument("--weight_decay", default=0.0, type=float)
+    parser.add_argument("--batch_length", default=20000, type=int,
+                        help="batch length (0 = utterance batch)")
+    parser.add_argument("--batch_size", default=1, type=int)
+    parser.add_argument("--iters", default=200000, type=int)
+    # other (reference train.py:382-393)
+    parser.add_argument("--checkpoint_interval", default=10000, type=int)
+    parser.add_argument("--intervals", default=100, type=int)
+    parser.add_argument("--seed", default=1, type=int)
+    parser.add_argument("--resume", default=None, nargs="?", type=str)
+    parser.add_argument("--n_devices", "--n_gpus", dest="n_devices",
+                        default=1, type=int,
+                        help="number of devices for data parallelism")
+    parser.add_argument("--compute_dtype", default="bfloat16",
+                        choices=["float32", "bfloat16"],
+                        help="matmul dtype (accumulation stays f32)")
+    parser.add_argument("--verbose", default=1, type=int)
+    return parser
+
+
+def main(argv=None) -> None:
+    args = get_parser().parse_args(argv)
+    configure_logging(args.verbose)
+    echo_args(args)
+
+    import jax
+
+    from pytorchwavenetvocoder_tpu.data import train_generator
+    from pytorchwavenetvocoder_tpu.models.wavenet import WaveNetConfig
+    from pytorchwavenetvocoder_tpu.ops.mulaw import encode_mu_law
+    from pytorchwavenetvocoder_tpu.ops.scaler import StandardScaler
+    from pytorchwavenetvocoder_tpu.parallel import (
+        create_train_state,
+        make_mesh,
+        make_train_step,
+        save_checkpoint,
+        shard_batch,
+    )
+    from pytorchwavenetvocoder_tpu.parallel.checkpoint import (
+        restore_train_state,
+        save_model_conf,
+    )
+    from pytorchwavenetvocoder_tpu.utils import find_files, read_hdf5, read_txt
+
+    os.makedirs(args.expdir, exist_ok=True)
+    np.random.seed(args.seed)
+
+    # model config; upsampling_factor=0 disables the learned upsampler
+    upsampling_factor = args.upsampling_factor if args.use_upsampling_layer else 0
+    config = WaveNetConfig(
+        n_quantize=args.n_quantize,
+        n_aux=args.n_aux,
+        n_resch=args.n_resch,
+        n_skipch=args.n_skipch,
+        dilation_depth=args.dilation_depth,
+        dilation_repeat=args.dilation_repeat,
+        kernel_size=args.kernel_size,
+        upsampling_factor=upsampling_factor,
+        compute_dtype=args.compute_dtype,
+    )
+    logging.info("receptive field = %d samples", config.receptive_field)
+
+    # persist full run config (replaces the pickled Namespace model.conf);
+    # args take precedence so `upsampling_factor` stays the pipeline's
+    # frame factor even when the learned upsampler is disabled (the model
+    # side is reconstructed from use_upsampling_layer at decode time)
+    save_model_conf(args.expdir, dict(config.to_dict(), **vars(args)))
+
+    # transforms
+    scaler = StandardScaler()
+    scaler.mean_ = read_hdf5(args.stats, "/" + args.feature_type + "/mean")
+    scaler.scale_ = read_hdf5(args.stats, "/" + args.feature_type + "/scale")
+
+    # data lists
+    if os.path.isdir(args.waveforms):
+        filenames = sorted(find_files(args.waveforms, "*.wav", use_dir_name=False))
+        wav_list = [args.waveforms + "/" + f for f in filenames]
+        feat_list = [args.feats + "/" + f.replace(".wav", ".h5") for f in filenames]
+    elif os.path.isfile(args.waveforms):
+        wav_list = read_txt(args.waveforms)
+        feat_list = read_txt(args.feats)
+    else:
+        logging.error("--waveforms should be directory or list.")
+        sys.exit(1)
+    assert len(wav_list) == len(feat_list)
+    logging.info("number of training data = %d.", len(wav_list))
+
+    generator = train_generator(
+        wav_list, feat_list,
+        receptive_field=config.receptive_field,
+        batch_length=args.batch_length if args.batch_length > 0 else None,
+        batch_size=args.batch_size,
+        feature_type=args.feature_type,
+        wav_transform=lambda x: encode_mu_law(x, args.n_quantize),
+        feat_transform=scaler.transform,
+        shuffle=True,
+        upsampling_factor=args.upsampling_factor,
+        use_upsampling_layer=args.use_upsampling_layer,
+        use_speaker_code=args.use_speaker_code,
+        seed=args.seed,
+    )
+
+    # mesh / step
+    mesh = None
+    n_devices = args.n_devices
+    avail = len(jax.devices())
+    if n_devices > avail:
+        logging.warning("requested %d devices but only %d available.",
+                        n_devices, avail)
+        n_devices = avail
+    if n_devices > 1:
+        if args.batch_size % n_devices != 0:
+            logging.warning("batch size %d not divisible by %d devices; "
+                            "falling back to single device.",
+                            args.batch_size, n_devices)
+            n_devices = 1
+        else:
+            mesh = make_mesh(n_devices)
+    step_fn = make_train_step(config, lr=args.lr,
+                              weight_decay=args.weight_decay, mesh=mesh)
+
+    state = create_train_state(jax.random.PRNGKey(args.seed), config,
+                               lr=args.lr, weight_decay=args.weight_decay)
+    iterations = 0
+    if args.resume is not None and len(args.resume) != 0:
+        state = restore_train_state(args.resume, state)
+        iterations = int(state.step)
+        logging.info("restored from %d-iter checkpoint.", iterations)
+
+    loss_sum = 0.0
+    total = 0.0
+    for i in range(iterations, args.iters):
+        start = time.time()
+        (batch_x, batch_h), batch_t = next(generator)
+        if mesh is not None:
+            batch_x, batch_h, batch_t = shard_batch(
+                mesh, (batch_x, batch_h, batch_t))
+        state, loss = step_fn(state, batch_x, batch_h, batch_t)
+        loss_sum += float(loss)  # blocks on the async dispatch
+        total += time.time() - start
+        logging.debug("batch loss = %.3f (%.3f sec / batch)",
+                      float(loss), time.time() - start)
+
+        if (i + 1) % args.intervals == 0:
+            avg = total / args.intervals
+            remaining = int((args.iters - (i + 1)) * avg)
+            logging.info("(iter:%d) average loss = %.6f (%.3f sec / batch)",
+                         i + 1, loss_sum / args.intervals, avg)
+            logging.info("estimated required time = %02d:%02d:%02d:%02d",
+                         remaining // 86400, (remaining // 3600) % 24,
+                         (remaining // 60) % 60, remaining % 60)
+            loss_sum = 0.0
+            total = 0.0
+
+        if (i + 1) % args.checkpoint_interval == 0:
+            save_checkpoint(args.expdir, state, iterations=i + 1)
+
+    save_checkpoint(args.expdir, state, final=True)
+    logging.info("final checkpoint created.")
+
+
+if __name__ == "__main__":
+    main()

@@ -459,7 +459,7 @@ def _scan_generate(params: Params, config: WaveNetConfig,
 
 def batch_fast_generate(params: Params, config: WaveNetConfig,
                         x, h, n_samples_list, mode: str = "sampling",
-                        rng: jax.Array | None = None):
+                        rng: jax.Array | None = None, mesh=None):
     """Batched fast AR generation (reference ``batch_fast_generate``,
     `wavenet.py:397-511`).
 
@@ -470,6 +470,10 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
       n_samples_list: per-utterance sample counts (python list, length B).
       mode: "sampling" | "argmax".
       rng: PRNG key for sampling mode.
+      mesh: optional jax.sharding.Mesh — the batch dim is sharded over its
+        'data' axis (the decode-fleet replacement for the reference's
+        one-process-per-GPU fan-out, `decode.py:329-338`).  B must be a
+        multiple of the data-axis size.
 
     Returns:
       list of np.int32 arrays, one per utterance in input order, each of
@@ -489,6 +493,14 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
         h = jnp.pad(h, ((0, 0), (0, need - h.shape[1]), (0, 0)), mode="edge")
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        x = jax.device_put(x, sh)
+        h = jax.device_put(h, sh)
+        params = jax.device_put(params, repl)
     samples = _scan_generate(params, config, x, h, max_n, mode, rng)
     samples = np.asarray(jax.device_get(samples))
     return [samples[b, : int(n)] for b, n in enumerate(n_samples_list)]

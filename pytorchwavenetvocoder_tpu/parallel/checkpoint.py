@@ -1,0 +1,94 @@
+"""Checkpoint / resume and model-config serialization.
+
+Keeps the reference's 3-file portable-model contract
+(``checkpoint-<iter>.pkl`` + ``model.conf`` + ``stats.h5``,
+`train.py:315-332,429`, `egs/README.md:113-121`) with two changes:
+
+- the checkpoint payload is a pickle of **numpy-ified pytrees**
+  ({"model": params, "optimizer": opt_state, "iterations": step}), not
+  torch state_dicts;
+- ``model.conf`` is JSON (a dict of hyperparameters), not a pickled
+  argparse Namespace — portable and inspectable.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import logging
+import os
+import pickle
+import re
+from typing import Any
+
+import numpy as np
+
+import jax
+
+
+def _to_numpy(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(checkpoint_dir: str, state, iterations: int | None = None,
+                    final: bool = False) -> str:
+    """Write ``checkpoint-<iter>.pkl`` (or ``checkpoint-final.pkl``)."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    if iterations is None:
+        iterations = int(state.step)
+    payload = {
+        "model": _to_numpy(state.params),
+        "optimizer": _to_numpy(state.opt_state),
+        "iterations": int(iterations),
+    }
+    name = "checkpoint-final.pkl" if final else f"checkpoint-{iterations}.pkl"
+    path = os.path.join(checkpoint_dir, name)
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    logging.info("%d-iter checkpoint created.", iterations)
+    return path
+
+
+def load_checkpoint(path: str) -> dict:
+    """Load a checkpoint payload dict."""
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def restore_train_state(path: str, state):
+    """Restore params/opt_state/step from ``path`` into ``state``
+    (same pytree structure required)."""
+    payload = load_checkpoint(path)
+    state.params = jax.tree.map(lambda _, v: v, state.params, payload["model"])
+    if payload.get("optimizer") is not None:
+        state.opt_state = jax.tree.map(lambda _, v: v, state.opt_state,
+                                       payload["optimizer"])
+    state.step = payload["iterations"]
+    return state
+
+
+def find_latest_checkpoint(checkpoint_dir: str) -> str | None:
+    """Return the highest-iteration checkpoint path, if any."""
+    paths = glob.glob(os.path.join(checkpoint_dir, "checkpoint-*.pkl"))
+    best, best_it = None, -1
+    for p in paths:
+        m = re.search(r"checkpoint-(\d+)\.pkl$", p)
+        if m and int(m.group(1)) > best_it:
+            best, best_it = p, int(m.group(1))
+    return best
+
+
+def save_model_conf(expdir: str, conf: dict[str, Any]) -> str:
+    """Write model.conf (JSON) next to the checkpoints."""
+    os.makedirs(expdir, exist_ok=True)
+    path = os.path.join(expdir, "model.conf")
+    with open(path, "w") as f:
+        json.dump(conf, f, indent=2, sort_keys=True, default=str)
+    return path
+
+
+def load_model_conf(path: str) -> dict[str, Any]:
+    if os.path.isdir(path):
+        path = os.path.join(path, "model.conf")
+    with open(path) as f:
+        return json.load(f)

@@ -1,0 +1,127 @@
+"""Data pipeline tests (mirrors reference test/test_generator.py:53-212):
+shape contracts for all 4 train batching modes x feature types, and the
+decode generator's batching/padding."""
+
+import numpy as np
+import pytest
+
+from pytorchwavenetvocoder_tpu.data import (
+    decode_generator,
+    train_generator,
+    validate_length,
+)
+from pytorchwavenetvocoder_tpu.ops.mulaw import encode_mu_law
+from pytorchwavenetvocoder_tpu.utils import write_hdf5, write_wav
+
+
+def make_dataset(tmp_path, n=4, fs=16000, n_aux=28, upsampling_factor=80,
+                 min_sec=0.4, max_sec=0.7, feature_type="world"):
+    rng = np.random.RandomState(0)
+    wav_list, feat_list = [], []
+    for i in range(n):
+        T = int(fs * rng.uniform(min_sec, max_sec))
+        x = rng.uniform(-0.5, 0.5, T).astype(np.float32)
+        n_frames = T // upsampling_factor + 1
+        h = rng.randn(n_frames, n_aux).astype(np.float32)
+        wav = str(tmp_path / f"utt{i}.wav")
+        feat = str(tmp_path / f"utt{i}.h5")
+        write_wav(wav, x, fs)
+        write_hdf5(feat, "/" + feature_type, h)
+        wav_list.append(wav)
+        feat_list.append(feat)
+    return wav_list, feat_list
+
+
+def test_validate_length():
+    x = np.zeros(1000)
+    y = np.zeros((12, 3))
+    x2, y2 = validate_length(x, y, 80)
+    assert len(x2) == len(y2) * 80
+    x3, y3 = validate_length(np.zeros(10), np.zeros(8))
+    assert len(x3) == len(y3) == 8
+
+
+@pytest.mark.parametrize("use_upsampling_layer", [True, False])
+def test_train_generator_minibatch(tmp_path, use_upsampling_layer):
+    uf = 80
+    wav_list, feat_list = make_dataset(tmp_path, upsampling_factor=uf)
+    receptive_field = 155
+    batch_length = 1000
+    gen = train_generator(
+        wav_list, feat_list, receptive_field=receptive_field,
+        batch_length=batch_length, batch_size=2,
+        wav_transform=lambda x: encode_mu_law(x, 256),
+        upsampling_factor=uf, use_upsampling_layer=use_upsampling_layer,
+        shuffle=False, seed=0)
+    for _ in range(5):
+        (bx, bh), bt = next(gen)
+        if use_upsampling_layer:
+            # window rounded down to whole frames
+            win = ((receptive_field + batch_length) // uf) * uf
+            assert bx.shape == (2, win)
+            assert bh.shape == (2, win // uf, 28)
+        else:
+            # window rf+bl, minus the dropped last sample (x_[:-1])
+            assert bx.shape == (2, receptive_field + batch_length - 1)
+            assert bh.shape == (2, receptive_field + batch_length - 1, 28)
+        assert bt.shape == bx.shape
+        assert bx.dtype == np.int32 and bt.dtype == np.int32
+        assert bx.min() >= 0 and bx.max() < 256
+        # teacher forcing: target is input shifted by one
+        np.testing.assert_array_equal(bx[:, 1:], bt[:, :-1])
+
+
+@pytest.mark.parametrize("use_upsampling_layer", [True, False])
+def test_train_generator_utterance_batch(tmp_path, use_upsampling_layer):
+    uf = 80
+    wav_list, feat_list = make_dataset(tmp_path, upsampling_factor=uf)
+    gen = train_generator(
+        wav_list, feat_list, receptive_field=155, batch_length=None,
+        wav_transform=lambda x: encode_mu_law(x, 256),
+        upsampling_factor=uf, use_upsampling_layer=use_upsampling_layer,
+        shuffle=False, seed=0)
+    for _ in range(4):
+        (bx, bh), bt = next(gen)
+        assert bx.shape[0] == 1 and bt.shape == bx.shape
+        if use_upsampling_layer:
+            assert bx.shape[1] == bh.shape[1] * uf
+        else:
+            assert bx.shape[1] == bh.shape[1]
+
+
+def test_train_generator_is_infinite_and_reshuffles(tmp_path):
+    wav_list, feat_list = make_dataset(tmp_path, n=2)
+    gen = train_generator(
+        wav_list, feat_list, receptive_field=100, batch_length=500,
+        batch_size=1, wav_transform=lambda x: encode_mu_law(x, 256),
+        upsampling_factor=80, use_upsampling_layer=True, shuffle=True, seed=1)
+    for _ in range(40):  # more batches than one pass provides
+        (bx, _), _ = next(gen)
+        assert bx.shape[0] == 1
+
+
+def test_decode_generator_single(tmp_path):
+    wav_list, feat_list = make_dataset(tmp_path)
+    gen = decode_generator(feat_list, batch_size=1, upsampling_factor=80,
+                           wav_transform=lambda x: encode_mu_law(x, 256))
+    items = list(gen)
+    assert len(items) == len(feat_list)
+    for feat_id, (x, h, n_samples) in items:
+        assert x.shape == (1, 1)
+        assert x[0, 0] == 128  # encode_mu_law(0) = 128
+        assert h.ndim == 3
+        assert n_samples == h.shape[1] * 80 - 1
+
+
+def test_decode_generator_batch_sorted_and_padded(tmp_path):
+    wav_list, feat_list = make_dataset(tmp_path, n=5)
+    gen = decode_generator(feat_list, batch_size=3, upsampling_factor=80,
+                           wav_transform=lambda x: encode_mu_law(x, 256))
+    items = list(gen)
+    assert sum(len(ids) for ids, _ in items) == 5
+    for ids, (x, h, n_list) in items:
+        assert x.shape == (len(ids), 1)
+        assert h.shape[0] == len(ids)
+        # sorted ascending within batch, padded to max
+        assert n_list == sorted(n_list)
+        assert h.shape[1] * 80 - 1 == max(n_list)
