@@ -1,0 +1,41 @@
+"""Digital signal processing, implemented from scratch.
+
+The reference reaches all of its DSP through native dependencies —
+WORLD (C++) via sprocket, SPTK (C) via pysptk, and librosa
+(`feature_extract.py:15-24`, `noise_shaping.py:16`).  None of those are
+available here; this package provides the consumed surfaces:
+
+- spectral:  STFT, mel filterbank, mel-spectrogram (librosa semantics)
+- cepstrum:  freqt / mcep / mc2b / b2mc / sp2mc (SPTK surface)
+- f0:        F0 tracking + continuous-F0 interpolation (WORLD surface)
+- world:     combined WORLD-style analysis [uv, cont_f0_lpf, mcep, codeap]
+- mlsa:      MLSA noise-shaping filter (pysptk.synthesis surface)
+- filters:   FIR high-pass / low-pass (scipy-backed, reference semantics)
+"""
+
+from pytorchwavenetvocoder_tpu.dsp.filters import (  # noqa: F401
+    low_cut_filter,
+    low_pass_filter,
+)
+from pytorchwavenetvocoder_tpu.dsp.spectral import (  # noqa: F401
+    mel_filterbank,
+    melspectrogram,
+    stft,
+)
+from pytorchwavenetvocoder_tpu.dsp.cepstrum import (  # noqa: F401
+    b2mc,
+    freqt,
+    mc2b,
+    mcep,
+    sp2mc,
+    stft_mcep,
+)
+from pytorchwavenetvocoder_tpu.dsp.f0 import (  # noqa: F401
+    convert_to_continuous_f0,
+    extract_f0,
+)
+from pytorchwavenetvocoder_tpu.dsp.world import world_analyze  # noqa: F401
+from pytorchwavenetvocoder_tpu.dsp.mlsa import (  # noqa: F401
+    mlsa_filter,
+    mlsa_impulse_response,
+)
