@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched AR mu-law decode throughput per chip.
+
+Runs the flagship arctic-sd model (30x512 gated layers, RF 3070, kernel
+2, uf 80) and measures steady-state aggregate samples/sec of the
+lax.scan batched decoder on one chip (warm-up timed separately — it is a
+one-time O(batch) cost per decode fleet).  Prints ONE JSON line.
+
+``vs_baseline`` is measured against the BASELINE.md north star:
+>100x real-time aggregate generation at 16 kHz = 1.6M samples/sec/chip
+(the reference publishes no numbers; its per-sample Python loop decoder
+is far below real time per GPU).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pytorchwavenetvocoder_tpu.models.wavenet import (
+        WaveNetConfig,
+        _pad_seed,
+        _scan_from_state,
+        _warmup_state,
+        init_wavenet_params,
+        upsample_aux,
+    )
+
+    B = int(os.environ.get("BENCH_BATCH", "64"))
+    n_samples = int(os.environ.get("BENCH_SAMPLES", "4000"))
+    config = WaveNetConfig(
+        n_quantize=256, n_aux=28, n_resch=512, n_skipch=256,
+        dilation_depth=10, dilation_repeat=3, kernel_size=2,
+        upsampling_factor=80, compute_dtype="bfloat16")
+    params = init_wavenet_params(jax.random.PRNGKey(0), config)
+
+    rng = np.random.RandomState(0)
+    x = np.full((B, 1), 128, np.int32)
+    n_frames = (config.receptive_field + n_samples) // 80 + 2
+    h = rng.randn(B, n_frames, 28).astype(np.float32)
+
+    xj = jnp.asarray(x)
+    hj = upsample_aux(params, config, jnp.asarray(h))
+    xj, hj = _pad_seed(config, xj, hj)
+    T0 = xj.shape[1]
+    need = T0 + n_samples
+    if hj.shape[1] < need:
+        hj = jnp.pad(hj, ((0, 0), (0, need - hj.shape[1]), (0, 0)), mode="edge")
+
+    # compile + warm caches
+    t0 = time.time()
+    carry = _warmup_state(params, config, xj, hj)
+    jax.block_until_ready(carry)
+    t_warm_compile = time.time() - t0
+    out = _scan_from_state(params, config, carry, hj, T0, n_samples,
+                           "sampling", jax.random.PRNGKey(0))
+    np.asarray(out)
+
+    # warm-up cost (cached executable)
+    t0 = time.time()
+    carry = _warmup_state(params, config, xj, hj)
+    jax.block_until_ready(carry)
+    warmup_s = time.time() - t0
+
+    # steady-state scan, best of 3 with distinct keys (the axon runtime
+    # memoizes identical executions)
+    times = []
+    for k in range(1, 4):
+        t0 = time.time()
+        out = _scan_from_state(params, config, carry, hj, T0, n_samples,
+                               "sampling", jax.random.PRNGKey(k))
+        np.asarray(out)
+        times.append(time.time() - t0)
+    elapsed = min(times)
+
+    total_samples = B * n_samples
+    sps = total_samples / elapsed
+    baseline_target = 1.6e6  # 100x RT at 16 kHz
+    print(json.dumps({
+        "metric": "ar_decode_samples_per_sec_per_chip",
+        "value": round(sps, 1),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / baseline_target, 4),
+        "detail": {
+            "batch": B,
+            "n_samples": n_samples,
+            "scan_seconds": round(elapsed, 4),
+            "us_per_step": round(elapsed / n_samples * 1e6, 1),
+            "warmup_seconds": round(warmup_s, 3),
+            "warmup_compile_seconds": round(t_warm_compile, 1),
+            "realtime_x_16k": round(sps / 16000.0, 2),
+            "model": "arctic-sd 30x512 RF3070 bf16",
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

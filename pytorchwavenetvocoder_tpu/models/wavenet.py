@@ -346,15 +346,64 @@ def _buffer_layout(config: WaveNetConfig):
     return caps, [int(o) for o in offsets], total
 
 
-@partial(jax.jit, static_argnames=("config", "max_n", "mode"))
-def _scan_generate(params: Params, config: WaveNetConfig,
-                   x: jnp.ndarray, h_up: jnp.ndarray,
-                   max_n: int, mode: str, rng: jax.Array) -> jnp.ndarray:
-    """Core scan AR decoder.
+@partial(jax.jit, static_argnames=("config",))
+def _warmup_state(params: Params, config: WaveNetConfig,
+                  x: jnp.ndarray, h_up: jnp.ndarray):
+    """Run the teacher-forced forward over the seed region and pack the
+    AR carry (ring buffers + sample history) for the scan decoder.
+
+    The fast-WaveNet warm-up (`wavenet.py:336-350` in the reference).
+    One-time O(B * T0 * model) cost per batch; the scan itself is O(B)
+    per emitted sample.
+    """
+    c = config
+    B, T0 = x.shape
+    R = c.n_resch
+    k = c.kernel_size
+    L = c.n_layers
+    dt = c.dtype
+    buf_dt = dt if dt == jnp.bfloat16 else c.acc_dtype
+    caps, offsets, total_cap = _buffer_layout(c)
+
+    def fill(x_chunk, h_chunk):
+        streams = _forward_collect(params, c, x_chunk, h_chunk)
+        parts = []
+        for l in range(L):
+            cap = caps[l]
+            # positions T0-1-cap .. T0-2 of stream l, at slot pos % cap
+            seg = streams[l][:, T0 - 1 - cap: T0 - 1]         # (Bc, cap, R)
+            pos = (jnp.arange(T0 - 1 - cap, T0 - 1)) % cap
+            seg_t = jnp.transpose(seg, (1, 0, 2)).astype(buf_dt)
+            buf_l = jnp.zeros((cap,) + seg_t.shape[1:], buf_dt).at[pos].set(seg_t)
+            parts.append(buf_l)
+        return jnp.concatenate(parts, axis=0)                 # (total_cap, Bc, R)
+
+    # chunk the teacher-forced warm-up over batch — its activations are
+    # O(B * T0 * channels) and blow HBM for big decode fleets otherwise
+    chunk = 64
+    if B <= chunk:
+        act_buf = fill(x, h_up[:, :T0])
+    else:
+        bufs = [fill(x[b: b + chunk], h_up[b: b + chunk, :T0])
+                for b in range(0, B, chunk)]
+        act_buf = jnp.concatenate(bufs, axis=1)
+
+    # ids at positions p-k+1 .. p-1 for the first step (p = T0-1), oldest
+    # first; the current-position id rides separately as ``prev``
+    sample_hist = x[:, T0 - k: T0 - 1] if k > 1 else jnp.zeros((B, 0), jnp.int32)
+    return act_buf, sample_hist.astype(jnp.int32), x[:, -1].astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("config", "T0", "max_n", "mode"))
+def _scan_from_state(params: Params, config: WaveNetConfig, carry,
+                     h_up: jnp.ndarray, T0: int, max_n: int, mode: str,
+                     rng: jax.Array) -> jnp.ndarray:
+    """Steady-state AR scan from a packed carry (see ``_warmup_state``).
 
     Args:
-      x: (B, T0) int32 seed ids, T0 >= receptive_field (already padded).
+      carry: (act_buf, sample_hist, prev) from ``_warmup_state``.
       h_up: (B, >= T0 + max_n, A) sample-rate aux features.
+      T0: seed length (static; first generated sample has index T0).
       max_n: number of samples to generate (static).
       mode: "sampling" | "argmax" (static).
       rng: PRNG key (used in sampling mode).
@@ -363,45 +412,45 @@ def _scan_generate(params: Params, config: WaveNetConfig,
       (B, max_n) int32 generated mu-law classes.
     """
     c = config
-    B, T0 = x.shape
+    act_buf0, sample_hist0, prev0 = carry
+    B = prev0.shape[0]
     R = c.n_resch
+    S = c.n_skipch
     k = c.kernel_size
+    L = c.n_layers
     dt = c.dtype
+    buf_dt = act_buf0.dtype
     caps, offsets, total_cap = _buffer_layout(c)
 
-    # ---- warm-up: fill ring buffers from the seed forward --------------
-    streams = _forward_collect(params, c, x, h_up[:, :T0])
-    act_buf = jnp.zeros((total_cap, B, R), c.acc_dtype)
-    for l in range(c.n_layers):
-        cap, off = caps[l], offsets[l]
-        # positions T0-1-cap .. T0-2 of stream l, placed at slot pos % cap
-        seg = streams[l][:, T0 - 1 - cap: T0 - 1]            # (B, cap, R)
-        pos = (jnp.arange(T0 - 1 - cap, T0 - 1)) % cap        # slot per entry
-        seg_t = jnp.transpose(seg, (1, 0, 2)).astype(c.acc_dtype)
-        act_buf = act_buf.at[off + pos].set(seg_t)
+    # ---- static index vectors for the fused ring-buffer ops ------------
+    offs_v = jnp.asarray(offsets, jnp.int32)                    # (L,)
+    caps_v = jnp.asarray(caps, jnp.int32)                       # (L,)
+    # read lags j*d per (layer, tap j=1..k-1), flattened (L*(k-1),)
+    lags_np = np.asarray([[j * d for j in range(1, k)]
+                          for d in c.dilations], np.int32).reshape(L, k - 1)
+    lags_v = jnp.asarray(lags_np)                               # (L, k-1)
 
     # fused aux projection weights: (A, L*2R)
-    L = c.n_layers
     aux_w_flat = jnp.transpose(params["aux"]["w"], (1, 0, 2)).reshape(
         c.n_aux, L * 2 * R).astype(dt)
     aux_b = params["aux"]["b"]
 
-    dil_w = params["dil"]["w"].astype(dt)      # (L, k, R, 2R)
+    dil_w = params["dil"]["w"].astype(dt)            # (L, k, R, 2R)
+    dil_w_cur = dil_w[:, k - 1]                      # (L, R, 2R) current tap
+    # past taps ordered by lag j=1..k-1 -> weight index k-1-j
+    dil_w_past = (dil_w[:, k - 2::-1].reshape(L, (k - 1), R, 2 * R)
+                  if k > 1 else None)
     dil_b = params["dil"]["b"]
-    skip_w = params["skip"]["w"].astype(dt)
-    skip_b = params["skip"]["b"]
-    res_w = params["res"]["w"].astype(dt)
-    res_b = params["res"]["b"]
-    causal_w = params["causal"]["w"].astype(dt)  # (k, Q, R)
+    # fused skip+res projection: (L, R, S+R)
+    sr_w = jnp.concatenate([params["skip"]["w"], params["res"]["w"]],
+                           axis=-1).astype(dt)
+    sr_b = jnp.concatenate([params["skip"]["b"], params["res"]["b"]], axis=-1)
+    causal_w = params["causal"]["w"].astype(dt)      # (k, Q, R)
     causal_b = params["causal"]["b"]
     post1_w = params["post1"]["w"].astype(dt)
     post1_b = params["post1"]["b"]
     post2_w = params["post2"]["w"].astype(dt)
     post2_b = params["post2"]["b"]
-
-    # ids at positions p-k+1 .. p-1 for the first step (p = T0-1), oldest
-    # first; the current-position id rides separately as ``prev``
-    sample_hist = x[:, T0 - k: T0 - 1] if k > 1 else jnp.zeros((B, 0), jnp.int32)
 
     def step(carry, i):
         act_buf, sample_hist, prev = carry
@@ -409,34 +458,41 @@ def _scan_generate(params: Params, config: WaveNetConfig,
 
         # input causal conv at position p: taps are ids at p, p-1, .., p-k+1
         ids = jnp.concatenate([sample_hist, prev[:, None]], axis=1) % c.n_quantize
-        out = jnp.zeros((B, R), c.acc_dtype)
+        out = causal_b.astype(c.acc_dtype) + jnp.zeros((B, R), c.acc_dtype)
         for j in range(k):
             out = out + causal_w[j][ids[:, j]]
-        out = out + causal_b
 
         # aux column at position p, projected for all layers at once
         hcol = lax.dynamic_slice(h_up, (0, p, 0), (B, 1, c.n_aux))[:, 0, :].astype(dt)
-        za_all = _dot(hcol, aux_w_flat).reshape(B, L, 2 * R)
+        za_all = _dot(hcol, aux_w_flat).reshape(B, L, 2 * R) + aux_b[None]
 
-        skip_sum = jnp.zeros((B, c.n_skipch), c.acc_dtype)
+        # ONE gather for every layer's past taps, ONE batched matmul for
+        # all their gate contributions (they only depend on the previous
+        # step's state, so none of this is in the sequential chain)
+        if k > 1:
+            read_idx = (offs_v[:, None] + (p - lags_v) % caps_v[:, None]).reshape(-1)
+            past = act_buf[read_idx].reshape(L, k - 1, B, R)      # gather
+            z_past = jnp.einsum(
+                "ljbr,ljro->lbo", past.astype(dt), dil_w_past,
+                preferred_element_type=c.acc_dtype)               # (L, B, 2R)
+        else:
+            z_past = jnp.zeros((L, B, 2 * R), c.acc_dtype)
+
+        skip_sum = jnp.zeros((B, S), c.acc_dtype)
         new_vals = []
-        for l, d in enumerate(c.dilations):
-            cap, off = caps[l], offsets[l]
-            # record this layer's input r at slot p % cap (read taps first)
-            z = _dot(out.astype(dt), dil_w[l, k - 1])
-            for j in range(1, k):
-                slot = off + (p - j * d) % cap
-                past = lax.dynamic_slice(act_buf, (slot, 0, 0), (1, B, R))[0]
-                z = z + _dot(past.astype(dt), dil_w[l, k - 1 - j])
-            z = z + dil_b[l]
-            new_vals.append((off + p % cap, out))
-            g = _gate(z, za_all[:, l] + aux_b[l], R)
-            skip_sum = skip_sum + _dot(g.astype(dt), skip_w[l]) + skip_b[l]
-            out = _dot(g.astype(dt), res_w[l]) + res_b[l] + out
+        for l in range(L):
+            z = (_dot(out.astype(dt), dil_w_cur[l]) + z_past[l]
+                 + dil_b[l] + za_all[:, l])
+            g = jax.nn.sigmoid(z[:, :R]) * jnp.tanh(z[:, R:])
+            sr = _dot(g.astype(dt), sr_w[l]) + sr_b[l]
+            skip_sum = skip_sum + sr[:, :S]
+            new_vals.append(out)
+            out = sr[:, S:] + out
 
-        for slot, val in new_vals:
-            act_buf = lax.dynamic_update_slice(
-                act_buf, val.astype(c.acc_dtype)[None], (slot, 0, 0))
+        # ONE scatter records every layer's input for future taps
+        write_idx = offs_v + p % caps_v
+        act_buf = act_buf.at[write_idx].set(
+            jnp.stack(new_vals).astype(buf_dt))
 
         post = jax.nn.relu(skip_sum)
         post = jax.nn.relu(_dot(post.astype(dt), post1_w) + post1_b)
@@ -452,9 +508,19 @@ def _scan_generate(params: Params, config: WaveNetConfig,
             sample_hist = jnp.concatenate([sample_hist[:, 1:], prev[:, None]], axis=1)
         return (act_buf, sample_hist, sample), sample
 
-    init = (act_buf, sample_hist.astype(jnp.int32), x[:, -1].astype(jnp.int32))
+    init = (act_buf0, sample_hist0, prev0)
     _, samples = lax.scan(step, init, jnp.arange(max_n))
     return jnp.transpose(samples, (1, 0))  # (B, max_n)
+
+
+def _scan_generate(params: Params, config: WaveNetConfig,
+                   x: jnp.ndarray, h_up: jnp.ndarray,
+                   max_n: int, mode: str, rng: jax.Array) -> jnp.ndarray:
+    """Full AR decode: warm-up + steady-state scan (two jit units so the
+    one-time warm-up doesn't inflate or OOM the per-sample path)."""
+    carry = _warmup_state(params, config, x, h_up)
+    return _scan_from_state(params, config, carry, h_up, x.shape[1],
+                            max_n, mode, rng)
 
 
 def batch_fast_generate(params: Params, config: WaveNetConfig,
