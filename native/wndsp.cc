@@ -1,0 +1,209 @@
+// wndsp — native host DSP for the TPU WaveNet vocoder framework.
+//
+// The reference reaches its host DSP through native dependencies (SPTK's
+// C mcep/MLSA, WORLD's C++ analysis).  This library provides the
+// equivalent native layer for this framework: cepstrum transforms, the
+// minimum-phase MLSA noise-shaping filter, and mu-law companding, all
+// exposed as a C ABI consumed from Python via ctypes
+// (pytorchwavenetvocoder_tpu/native.py).  Every routine matches the
+// in-repo numpy implementation (dsp/cepstrum.py, dsp/mlsa.py,
+// ops/mulaw.py) to float tolerance; the numpy versions remain the
+// reference implementations and fallback.
+//
+// Build: make -C native   (produces libwndsp.so)
+
+#include <cmath>
+#include <complex>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+using cplx = std::complex<double>;
+
+// ---------------------------------------------------------------------
+// iterative radix-2 complex FFT (in-place), n must be a power of two
+// ---------------------------------------------------------------------
+void fft_inplace(std::vector<cplx>& a, bool invert) {
+  const size_t n = a.size();
+  for (size_t i = 1, j = 0; i < n; i++) {
+    size_t bit = n >> 1;
+    for (; j & bit; bit >>= 1) j ^= bit;
+    j ^= bit;
+    if (i < j) std::swap(a[i], a[j]);
+  }
+  for (size_t len = 2; len <= n; len <<= 1) {
+    const double ang = 2.0 * M_PI / (double)len * (invert ? 1.0 : -1.0);
+    const cplx wlen(std::cos(ang), std::sin(ang));
+    for (size_t i = 0; i < n; i += len) {
+      cplx w(1.0);
+      for (size_t j = 0; j < len / 2; j++) {
+        cplx u = a[i + j];
+        cplx v = a[i + j + len / 2] * w;
+        a[i + j] = u + v;
+        a[i + j + len / 2] = u - v;
+        w *= wlen;
+      }
+    }
+  }
+  if (invert) {
+    for (auto& x : a) x /= (double)n;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------
+// freqt: all-pass frequency warping of a cepstrum (Oppenheim recursion)
+// c (m1,) -> g (order+1,)
+// ---------------------------------------------------------------------
+void wndsp_freqt(const double* c, int m1, int order, double alpha, double* g) {
+  std::vector<double> cur(order + 1, 0.0), prev(order + 1, 0.0);
+  const double beta = 1.0 - alpha * alpha;
+  for (int i = m1 - 1; i >= 0; --i) {
+    prev = cur;
+    cur[0] = c[i] + alpha * prev[0];
+    if (order >= 1) cur[1] = beta * prev[0] + alpha * prev[1];
+    for (int m = 2; m <= order; ++m)
+      cur[m] = prev[m - 1] + alpha * (prev[m] - cur[m - 1]);
+  }
+  std::memcpy(g, cur.data(), sizeof(double) * (order + 1));
+}
+
+// mc2b / b2mc ----------------------------------------------------------
+void wndsp_mc2b(const double* mc, int m1, double alpha, double* b) {
+  b[m1 - 1] = mc[m1 - 1];
+  for (int m = m1 - 2; m >= 0; --m) b[m] = mc[m] - alpha * b[m + 1];
+}
+
+void wndsp_b2mc(const double* b, int m1, double alpha, double* mc) {
+  mc[m1 - 1] = b[m1 - 1];
+  for (int m = m1 - 2; m >= 0; --m) mc[m] = b[m] + alpha * b[m + 1];
+}
+
+// ---------------------------------------------------------------------
+// sp2mc: one-sided power spectrum (n_fft/2+1) -> mel-cepstrum (order+1)
+// ---------------------------------------------------------------------
+void wndsp_sp2mc(const double* power_spec, int n_half1, int order,
+                 double alpha, double eps, double* mc) {
+  const int n_fft = (n_half1 - 1) * 2;
+  std::vector<cplx> buf(n_fft);
+  for (int i = 0; i < n_half1; ++i) {
+    double p = power_spec[i] > eps ? power_spec[i] : eps;
+    buf[i] = cplx(0.5 * std::log(p), 0.0);
+  }
+  for (int i = n_half1; i < n_fft; ++i) buf[i] = buf[n_fft - i];
+  fft_inplace(buf, true);  // inverse fft of the symmetric log spectrum
+  std::vector<double> cep(n_half1);
+  cep[0] = buf[0].real();
+  for (int i = 1; i < n_half1 - 1; ++i) cep[i] = 2.0 * buf[i].real();
+  cep[n_half1 - 1] = buf[n_half1 - 1].real();
+  wndsp_freqt(cep.data(), n_half1, order, alpha, mc);
+}
+
+// mcep of a windowed frame (periodogram + sp2mc) -----------------------
+void wndsp_mcep_frame(const double* frame, int n, int n_fft, int order,
+                      double alpha, double eps, double* mc) {
+  std::vector<cplx> buf(n_fft, cplx(0.0, 0.0));
+  for (int i = 0; i < n && i < n_fft; ++i) buf[i] = cplx(frame[i], 0.0);
+  fft_inplace(buf, false);
+  const int n_half1 = n_fft / 2 + 1;
+  std::vector<double> ps(n_half1);
+  for (int i = 0; i < n_half1; ++i) ps[i] = std::norm(buf[i]);
+  wndsp_sp2mc(ps.data(), n_half1, order, alpha, eps, mc);
+}
+
+// framewise stft mcep over a signal (hop/window provided) --------------
+void wndsp_stft_mcep(const double* x, int n, const double* window, int fftl,
+                     int shiftl, int order, double alpha, double eps,
+                     double* out /* (n_frames, order+1) */) {
+  const int n_frames = (n - fftl) / shiftl + 1;
+  std::vector<double> frame(fftl);
+  for (int t = 0; t < n_frames; ++t) {
+    const double* seg = x + (size_t)t * shiftl;
+    for (int i = 0; i < fftl; ++i) frame[i] = seg[i] * window[i];
+    wndsp_mcep_frame(frame.data(), fftl, fftl, order, alpha, eps,
+                     out + (size_t)t * (order + 1));
+  }
+}
+
+// ---------------------------------------------------------------------
+// MLSA impulse response: exp(sum b_m Phi_m(z)) as a causal minimum-phase
+// IR (matches dsp/mlsa.py mlsa_impulse_response)
+// ---------------------------------------------------------------------
+void wndsp_mlsa_ir(const double* coef, int m1, double alpha, int n_fft,
+                   int ir_length, double* h) {
+  std::vector<double> mc(m1);
+  wndsp_b2mc(coef, m1, alpha, mc.data());
+  std::vector<double> c(n_fft / 2 + 1);
+  wndsp_freqt(mc.data(), m1, n_fft / 2, -alpha, c.data());
+  std::vector<cplx> buf(n_fft, cplx(0.0, 0.0));
+  for (int i = 0; i <= n_fft / 2; ++i) buf[i] = cplx(c[i], 0.0);
+  fft_inplace(buf, false);               // C(w) on the unit circle
+  for (auto& v : buf) v = std::exp(v);   // H = exp(C)
+  fft_inplace(buf, true);                // back to time domain
+  for (int i = 0; i < ir_length; ++i) h[i] = buf[i].real();
+}
+
+// causal FIR filtering y[t] = sum_k h[k] x[t-k] via overlap-free direct
+// convolution in the frequency domain (block FFT convolution)
+void wndsp_fir_filter(const double* x, int n, const double* h, int ir_len,
+                      double* y) {
+  // choose fft size >= 2 * max(block, ir)
+  int blk = 1;
+  while (blk < 4 * ir_len) blk <<= 1;
+  const int step = blk - ir_len + 1;
+  std::vector<cplx> H(blk, cplx(0, 0));
+  for (int i = 0; i < ir_len; ++i) H[i] = cplx(h[i], 0.0);
+  fft_inplace(H, false);
+  std::vector<double> acc(n + blk, 0.0);
+  std::vector<cplx> buf(blk);
+  for (int start = 0; start < n; start += step) {
+    const int m = std::min(step, n - start);
+    for (int i = 0; i < m; ++i) buf[i] = cplx(x[start + i], 0.0);
+    for (int i = m; i < blk; ++i) buf[i] = cplx(0.0, 0.0);
+    fft_inplace(buf, false);
+    for (int i = 0; i < blk; ++i) buf[i] *= H[i];
+    fft_inplace(buf, true);
+    for (int i = 0; i < blk && start + i < (int)acc.size(); ++i)
+      acc[start + i] += buf[i].real();
+  }
+  std::memcpy(y, acc.data(), sizeof(double) * n);
+}
+
+// time-invariant MLSA filtering (the noise-shaping hot path)
+void wndsp_mlsa_filter(const double* x, int n, const double* coef, int m1,
+                       double alpha, int n_fft, int ir_len, double* y) {
+  std::vector<double> h(ir_len);
+  wndsp_mlsa_ir(coef, m1, alpha, n_fft, ir_len, h.data());
+  wndsp_fir_filter(x, n, h.data(), ir_len, y);
+}
+
+// ---------------------------------------------------------------------
+// mu-law companding (matches ops/mulaw.py)
+// ---------------------------------------------------------------------
+void wndsp_encode_mu_law(const double* x, int n, int mu, int32_t* y) {
+  const double m = (double)(mu - 1);
+  const double denom = std::log1p(m);
+  for (int i = 0; i < n; ++i) {
+    double s = x[i] > 0 ? 1.0 : (x[i] < 0 ? -1.0 : 0.0);
+    double fx = s * std::log1p(m * std::fabs(x[i])) / denom;
+    y[i] = (int32_t)std::floor((fx + 1.0) / 2.0 * m + 0.5);
+  }
+}
+
+void wndsp_decode_mu_law(const int32_t* y, int n, int mu, double* x) {
+  const double m = (double)(mu - 1);
+  for (int i = 0; i < n; ++i) {
+    double fx = ((double)y[i] - 0.5) / m * 2.0 - 1.0;
+    double s = fx > 0 ? 1.0 : (fx < 0 ? -1.0 : 0.0);
+    x[i] = s / m * (std::pow(1.0 + m, std::fabs(fx)) - 1.0);
+  }
+}
+
+int wndsp_version(void) { return 1; }
+
+}  // extern "C"

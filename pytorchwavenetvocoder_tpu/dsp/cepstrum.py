@@ -108,12 +108,19 @@ def stft_mcep(x: np.ndarray, fftl: int = 512, shiftl: int = 256,
     """Framewise STFT mel-cepstrum (reference ``stft_mcep``,
     `feature_extract.py:116-148`): non-centered frames of length ``fftl``
     hopped by ``shiftl``, windowed, mcep per frame -> (n_frames, dim+1)."""
+    import os
+
     from scipy.signal import get_window
 
     x = np.asarray(x, np.float64)
     if is_padding:
         n_pad = fftl - (len(x) - fftl) % shiftl
         x = np.pad(x, (0, n_pad), "reflect")
+    if not os.environ.get("WNDSP_DISABLE_NATIVE"):
+        from pytorchwavenetvocoder_tpu import native
+
+        if native.available():
+            return native.stft_mcep(x, fftl, shiftl, dim, alpha, window)
     n_frame = (len(x) - fftl) // shiftl + 1
     win = get_window(window, fftl)
     out = np.empty((n_frame, dim + 1))

@@ -49,8 +49,18 @@ def mlsa_filter(x: np.ndarray, coef: np.ndarray, alpha: float,
     """Filter ``x`` with the time-invariant MLSA filter of ``coef``.
 
     Same-length output (causal filtering), matching the synthesizer's
-    behavior on tiled coefficients.
+    behavior on tiled coefficients.  Dispatches to the native C++ path
+    (native/wndsp.cc, ~20x faster) when the library is built; set
+    WNDSP_DISABLE_NATIVE=1 to force the numpy implementation.
     """
+    import os
+
+    if not os.environ.get("WNDSP_DISABLE_NATIVE"):
+        from pytorchwavenetvocoder_tpu import native
+
+        if native.available():
+            return native.mlsa_filter(np.asarray(x, np.float64), coef, alpha,
+                                      n_fft=n_fft, ir_length=ir_length)
     h = mlsa_impulse_response(coef, alpha, n_fft=n_fft, ir_length=ir_length)
     return fftconvolve(np.asarray(x, np.float64), h)[: len(x)]
 

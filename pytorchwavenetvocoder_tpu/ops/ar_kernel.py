@@ -1,0 +1,306 @@
+"""Pallas TPU kernel for the WaveNet AR sample loop.
+
+The XLA ``lax.scan`` decoder (models/wavenet.py ``_scan_from_state``)
+tops out around 30% MXU utilization: its step is ~60 small dependent
+matmuls plus gather/scatter ops, each paying XLA op overhead, and the
+~86 MB of layer weights re-stream from HBM every emitted sample.  This
+kernel runs the WHOLE sample loop on-core:
+
+- grid = (n_samples,); TPU grid iterations run sequentially, so VMEM
+  scratch carries the decoder state (residual vector, previous sample
+  ids, skip accumulator) across samples with zero host round-trips;
+- per-layer weights are packed as one (L, R, 2R | 2R | S+R) block and
+  streamed HBM->VMEM with a double-buffered async DMA a layer ahead of
+  the compute chain;
+- the fast-WaveNet ring buffers live in HBM; for kernel_size 2 the read
+  and write slot of layer l at position p coincide (cap_l == d_l and
+  (p - d_l) % d_l == p % d_l), so each layer is ONE slice DMA in and ONE
+  out, staged through the same VMEM buffer;
+- aux conditioning, the one-hot input conv (realized as a one-hot
+  matmul on the MXU), the ReLU/1x1 post stack, and Gumbel-max sampling
+  (pltpu PRNG) all happen in-kernel.
+
+Restrictions: kernel_size == 2, bfloat16 weights.  Other configurations
+fall back to the lax.scan path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def supports_pallas_ar(config, backend: str | None = None) -> bool:
+    """Whether the fused AR kernel can run this config."""
+    if config.kernel_size != 2:
+        return False
+    if config.n_resch % 128 != 0 or config.n_skipch % 128 != 0:
+        return False
+    if config.n_quantize != 256:
+        return False
+    return True
+
+
+def _pack_weights(params, config):
+    """Pack per-layer weights for streaming: (L, R, 2R + 2R + S + R) bf16.
+
+    Columns: [w_cur (2R) | w_past (2R) | skip+res (S+R)].
+    """
+    c = config
+    R, S, L = c.n_resch, c.n_skipch, c.n_layers
+    dil_w = params["dil"]["w"].astype(jnp.bfloat16)       # (L, 2, R, 2R)
+    w_cur = dil_w[:, 1]                                   # current tap
+    w_past = dil_w[:, 0]                                  # lag-d tap
+    sr_w = jnp.concatenate([params["skip"]["w"], params["res"]["w"]],
+                           axis=-1).astype(jnp.bfloat16)  # (L, R, S+R)
+    wpack = jnp.concatenate([w_cur, w_past, sr_w], axis=-1)
+    assert wpack.shape == (L, R, 2 * R + 2 * R + S + R)
+
+    A = c.n_aux
+    aux_rows = max(32, ((A + 31) // 32) * 32)
+    aux = jnp.zeros((L, aux_rows, 2 * R), jnp.bfloat16)
+    aux = aux.at[:, :A].set(params["aux"]["w"].astype(jnp.bfloat16))
+
+    Q = c.n_quantize
+    causal = params["causal"]["w"].astype(jnp.bfloat16)   # (2, Q, R)
+    # rows [0:Q] = previous-sample tap (w0), rows [Q:2Q] = current (w1)
+    causal_pack = jnp.concatenate([causal[0], causal[1]], axis=0)  # (2Q, R)
+
+    biases = dict(
+        dil_b=params["dil"]["b"].astype(jnp.float32),
+        sr_b=jnp.concatenate([params["skip"]["b"], params["res"]["b"]],
+                             axis=-1).astype(jnp.float32),
+        causal_b=params["causal"]["b"].astype(jnp.float32).reshape(1, -1),
+        post1_b=params["post1"]["b"].astype(jnp.float32).reshape(1, -1),
+        post2_b=params["post2"]["b"].astype(jnp.float32).reshape(1, -1),
+    )
+    post1_w = params["post1"]["w"].astype(jnp.bfloat16)
+    post2_w = params["post2"]["w"].astype(jnp.bfloat16)
+    return wpack, aux, causal_pack, post1_w, post2_w, biases
+
+
+@partial(jax.jit, static_argnames=("config", "T0", "max_n", "mode", "interpret"))
+def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
+                       mode: str, rng, interpret: bool = False):
+    """Fused AR decode. Same contract as ``_scan_from_state``.
+
+    Args:
+      carry: (act_buf, sample_hist (B, k-1), prev (B,)) from _warmup_state.
+      h_up: (B, >= T0 + max_n, A) sample-rate aux.
+    Returns:
+      (B, max_n) int32 samples.
+    """
+    c = config
+    act_buf, sample_hist, prev = carry
+    B = prev.shape[0]
+    R, S, Q, L, A = c.n_resch, c.n_skipch, c.n_quantize, c.n_layers, c.n_aux
+    dils = list(c.dilations)
+    caps = [d for d in dils]                     # k=2: cap == dilation
+    offsets = np.concatenate([[0], np.cumsum(caps[:-1])]).astype(int)
+    offsets = [int(o) for o in offsets]
+    W = 2 * R + 2 * R + S + R
+
+    wpack, auxpack, causal_pack, post1_w, post2_w, biases = _pack_weights(params, c)
+    aux_rows = auxpack.shape[1]
+
+    # aux stream, time-major and row-padded for clean (1, B, aux_rows) DMAs
+    h_t = jnp.zeros((T0 + max_n, B, aux_rows), jnp.float32)
+    h_t = h_t.at[:, :, :A].set(
+        jnp.transpose(h_up[:, : T0 + max_n, :], (1, 0, 2)).astype(jnp.float32))
+
+    act_buf = act_buf.astype(jnp.bfloat16)
+    prev2 = jnp.stack([sample_hist[:, -1], prev], axis=1).astype(jnp.int32)
+
+    if mode == "sampling":
+        seed = jax.random.randint(rng, (1, 1), 0, np.int32(2**31 - 1), jnp.int32)
+    else:
+        seed = jnp.zeros((1, 1), jnp.int32)
+
+    def kernel(seed_ref,                       # SMEM
+               wpack_ref, h_ref, actbuf_in_ref,   # ANY/HBM
+               auxpack_ref, causal_ref, post1_ref, post2_ref,  # VMEM consts
+               dil_b_ref, sr_b_ref, causal_b_ref, post1_b_ref, post2_b_ref,
+               prev_init_ref,
+               samples_ref, actbuf_ref,        # outputs (actbuf aliased)
+               tap_buf, w_buf, hcol_buf, out_buf, g_buf, prev_buf, samp_buf,
+               read_sems, write_sems, w_sems, h_sem, samp_sem):
+        i = pl.program_id(0)
+        p = T0 - 1 + i
+
+        def w_dma(l):
+            return pltpu.make_async_copy(
+                wpack_ref.at[pl.ds(l, 1)],
+                w_buf.at[pl.ds(l % 2, 1)],
+                w_sems.at[l % 2])
+
+        def tap_read_dma(l, slot):
+            return pltpu.make_async_copy(
+                actbuf_ref.at[pl.ds(slot, 1)],
+                tap_buf.at[pl.ds(l, 1)],
+                read_sems.at[l])
+
+        def tap_write_dma(l, slot):
+            return pltpu.make_async_copy(
+                tap_buf.at[pl.ds(l, 1)],
+                actbuf_ref.at[pl.ds(slot, 1)],
+                write_sems.at[l])
+
+        def h_dma():
+            return pltpu.make_async_copy(
+                h_ref.at[pl.ds(p, 1)], hcol_buf, h_sem)
+
+        # ---- step prologue -------------------------------------------
+        @pl.when(i == 0)
+        def _():
+            prev_buf[:] = prev_init_ref[:]
+            w_dma(0).start()
+
+        h_dma().start()
+        slots = []
+        for l in range(L):
+            slot = offsets[l] + p % caps[l] if caps[l] > 1 else offsets[l]
+            slots.append(slot)
+            tap_read_dma(l, slot).start()
+
+        # input conv as a one-hot matmul: [onehot(old) | onehot(cur)] @ pack
+        ids = prev_buf[:]                         # (B, 2) int32
+        col = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1)
+        oh_old = (col == ids[:, 0:1]).astype(jnp.bfloat16)
+        oh_cur = (col == ids[:, 1:2]).astype(jnp.bfloat16)
+        oh = jnp.concatenate([oh_old, oh_cur], axis=1)          # (B, 2Q)
+        out = jnp.dot(oh, causal_ref[:],
+                      preferred_element_type=jnp.float32) + causal_b_ref[:]
+        out_buf[:] = out
+
+        h_dma().wait()
+        hcol = hcol_buf[0].astype(jnp.bfloat16)   # (B, aux_rows)
+
+        skip = jnp.zeros((B, S), jnp.float32)
+
+        # ---- layer chain ---------------------------------------------
+        for l in range(L):
+            w_dma(l).wait()
+            if l + 1 < L:
+                w_dma(l + 1).start()
+            tap_read_dma(l, slots[l]).wait()
+            tap = tap_buf[l]                      # (B, R) bf16
+
+            out_bf = out_buf[:].astype(jnp.bfloat16)
+            z = jnp.dot(out_bf, w_buf[l % 2, :, 0: 2 * R],
+                        preferred_element_type=jnp.float32)
+            z = z + jnp.dot(tap, w_buf[l % 2, :, 2 * R: 4 * R],
+                            preferred_element_type=jnp.float32)
+            z = z + jnp.dot(hcol, auxpack_ref[l],
+                            preferred_element_type=jnp.float32)
+            z = z + dil_b_ref[l][None, :]
+            g = jax.nn.sigmoid(z[:, :R]) * jnp.tanh(z[:, R:])
+            g_buf[:] = g.astype(jnp.bfloat16)
+
+            # stage this layer's input into the (now free) tap buffer and
+            # write it back to the same ring slot for future taps
+            tap_buf[l] = out_bf
+            tap_write_dma(l, slots[l]).start()
+
+            sr = jnp.dot(g_buf[:], w_buf[l % 2, :, 4 * R:],
+                         preferred_element_type=jnp.float32) + sr_b_ref[l][None, :]
+            skip = skip + sr[:, :S]
+            out_buf[:] = sr[:, S:] + out_buf[:]
+
+        # prefetch layer 0 for the next step (lands in buf 0: L is even)
+        @pl.when(i + 1 < max_n)
+        def _():
+            w_dma(0).start()
+
+        # ---- post stack + sampling -----------------------------------
+        post = jax.nn.relu(skip).astype(jnp.bfloat16)
+        post = jnp.dot(post, post1_ref[:],
+                       preferred_element_type=jnp.float32) + post1_b_ref[:]
+        post = jax.nn.relu(post).astype(jnp.bfloat16)
+        logits = jnp.dot(post, post2_ref[:],
+                         preferred_element_type=jnp.float32) + post2_b_ref[:]
+
+        if mode == "sampling":
+            pltpu.prng_seed(seed_ref[0, 0] + i)
+            bits = pltpu.prng_random_bits((B, Q))
+            u = bits.astype(jnp.float32) * (1.0 / 4294967296.0)
+            u = jnp.clip(u, 1e-7, 1.0 - 1e-7)
+            gumbel = -jnp.log(-jnp.log(u))
+            sample = jnp.argmax(logits + gumbel, axis=1).astype(jnp.int32)
+        else:
+            sample = jnp.argmax(logits, axis=1).astype(jnp.int32)
+
+        samp_buf[0, :] = sample
+        samp_dma = pltpu.make_async_copy(
+            samp_buf, samples_ref.at[pl.ds(i, 1)], samp_sem)
+        samp_dma.start()
+        prev_buf[:, 0:1] = prev_buf[:, 1:2]
+        prev_buf[:, 1:2] = sample[:, None]
+
+        # ensure ring writes land before the next step reads them
+        for l in range(L):
+            tap_write_dma(l, slots[l]).wait()
+        samp_dma.wait()
+
+    total_cap = act_buf.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(max_n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # seed
+            pl.BlockSpec(memory_space=pltpu.ANY),     # wpack
+            pl.BlockSpec(memory_space=pltpu.ANY),     # h_t
+            pl.BlockSpec(memory_space=pltpu.ANY),     # act_buf (aliased)
+            pl.BlockSpec((L, aux_rows, 2 * R), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * Q, R), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, Q), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 2 * R), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, S + R), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Q), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((L, B, R), jnp.bfloat16),     # tap_buf
+            pltpu.VMEM((2, R, W), jnp.bfloat16),     # w_buf
+            pltpu.VMEM((1, B, aux_rows), jnp.float32),  # hcol
+            pltpu.VMEM((B, R), jnp.float32),         # out_buf
+            pltpu.VMEM((B, R), jnp.bfloat16),        # g_buf
+            pltpu.VMEM((B, 2), jnp.int32),           # prev_buf
+            pltpu.VMEM((1, B), jnp.int32),           # samp_buf
+            pltpu.SemaphoreType.DMA((L,)),           # read_sems
+            pltpu.SemaphoreType.DMA((L,)),           # write_sems
+            pltpu.SemaphoreType.DMA((2,)),           # w_sems
+            pltpu.SemaphoreType.DMA(()),             # h_sem
+            pltpu.SemaphoreType.DMA(()),             # samp_sem
+        ],
+    )
+
+    samples, _ = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((max_n, B), jnp.int32),
+            jax.ShapeDtypeStruct((total_cap, B, R), jnp.bfloat16),
+        ],
+        input_output_aliases={3: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(seed, wpack, h_t, act_buf, auxpack, causal_pack, post1_w, post2_w,
+      biases["dil_b"], biases["sr_b"], biases["causal_b"],
+      biases["post1_b"], biases["post2_b"], prev2)
+
+    return jnp.transpose(samples, (1, 0))
