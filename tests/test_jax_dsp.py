@@ -1,0 +1,88 @@
+"""JAX device DSP kernels vs the numpy reference implementations."""
+
+import numpy as np
+
+import jax
+
+from pytorchwavenetvocoder_tpu.dsp import cepstrum as npc
+from pytorchwavenetvocoder_tpu.dsp import mlsa as npm
+from pytorchwavenetvocoder_tpu.dsp import spectral as nps
+from pytorchwavenetvocoder_tpu.dsp.jax_dsp import (
+    freqt_jax,
+    melspectrogram_jax,
+    mlsa_filter_jax,
+    sp2mc_jax,
+    stft_jax,
+    stft_mcep_jax,
+)
+
+
+def test_stft_jax_matches_numpy():
+    x = np.random.RandomState(0).randn(8000)
+    ref = nps.stft(x, n_fft=512, hop_length=128)
+    out = np.asarray(stft_jax(x, n_fft=512, hop_length=128))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.abs(out), np.abs(ref), atol=1e-6)
+
+
+def test_melspectrogram_jax_matches_numpy():
+    fs = 16000
+    x = np.random.RandomState(1).randn(fs)
+    ref = nps.melspectrogram(x, fs, n_fft=1024, hop_length=80, n_mels=80)
+    out = np.asarray(melspectrogram_jax(x, fs, n_fft=1024, hop_length=80,
+                                        n_mels=80))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_melspectrogram_jax_batched():
+    fs = 16000
+    x = np.random.RandomState(2).randn(3, 4000)
+    out = np.asarray(melspectrogram_jax(x, fs, hop_length=80))
+    assert out.shape[0] == 3
+    for b in range(3):
+        np.testing.assert_allclose(
+            out[b], nps.melspectrogram(x[b], fs, hop_length=80), atol=1e-5)
+
+
+def test_freqt_jax_matches_numpy():
+    rng = np.random.RandomState(3)
+    c = rng.randn(26) * np.exp(-0.2 * np.arange(26))
+    np.testing.assert_allclose(np.asarray(freqt_jax(c, 63, 0.41)),
+                               npc.freqt(c, 63, 0.41), atol=1e-9)
+    # batched
+    cb = rng.randn(5, 26)
+    out = np.asarray(freqt_jax(cb, 24, 0.41))
+    for b in range(5):
+        np.testing.assert_allclose(out[b], npc.freqt(cb[b], 24, 0.41), atol=1e-9)
+    # tiny orders
+    np.testing.assert_allclose(np.asarray(freqt_jax(c, 0, 0.41)),
+                               npc.freqt(c, 0, 0.41), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(freqt_jax(c, 1, 0.41)),
+                               npc.freqt(c, 1, 0.41), atol=1e-9)
+
+
+def test_sp2mc_jax_matches_numpy():
+    rng = np.random.RandomState(4)
+    ps = np.exp(rng.randn(3, 257))
+    out = np.asarray(sp2mc_jax(ps, 24, 0.41))
+    for b in range(3):
+        np.testing.assert_allclose(out[b], npc.sp2mc(ps[b], 24, 0.41), atol=1e-7)
+
+
+def test_stft_mcep_jax_matches_numpy(monkeypatch):
+    monkeypatch.setenv("WNDSP_DISABLE_NATIVE", "1")
+    x = np.random.RandomState(5).randn(6000)
+    ref = npc.stft_mcep(x, 512, 256, 25)
+    out = np.asarray(stft_mcep_jax(x, 512, 256, 25))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_mlsa_filter_jax_matches_numpy(monkeypatch):
+    monkeypatch.setenv("WNDSP_DISABLE_NATIVE", "1")
+    rng = np.random.RandomState(6)
+    coef = npc.mc2b(np.concatenate(
+        [[0.0], 0.3 * rng.randn(25) * np.exp(-0.2 * np.arange(25))]), 0.41)
+    x = rng.randn(8000)
+    ref = npm.mlsa_filter(x, coef, 0.41)
+    out = np.asarray(mlsa_filter_jax(x, coef, 0.41))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
