@@ -61,14 +61,29 @@ def main():
     if hj.shape[1] < need:
         hj = jnp.pad(hj, ((0, 0), (0, need - hj.shape[1]), (0, 0)), mode="edge")
 
+    from pytorchwavenetvocoder_tpu.ops.ar_kernel import (
+        pallas_ar_generate,
+        supports_pallas_ar,
+    )
+
+    impl = os.environ.get("BENCH_IMPL", "auto")
+    use_pallas = (supports_pallas_ar(config)
+                  and jax.default_backend() == "tpu"
+                  and impl in ("auto", "pallas"))
+
+    def decode_fn(carry, key):
+        if use_pallas:
+            return pallas_ar_generate(params, config, carry, hj, T0,
+                                      n_samples, "sampling", key)
+        return _scan_from_state(params, config, carry, hj, T0, n_samples,
+                                "sampling", key)
+
     # compile + warm caches
     t0 = time.time()
     carry = _warmup_state(params, config, xj, hj)
     jax.block_until_ready(carry)
     t_warm_compile = time.time() - t0
-    out = _scan_from_state(params, config, carry, hj, T0, n_samples,
-                           "sampling", jax.random.PRNGKey(0))
-    np.asarray(out)
+    np.asarray(decode_fn(carry, jax.random.PRNGKey(0)))
 
     # warm-up cost (cached executable)
     t0 = time.time()
@@ -76,14 +91,12 @@ def main():
     jax.block_until_ready(carry)
     warmup_s = time.time() - t0
 
-    # steady-state scan, best of 3 with distinct keys (the axon runtime
+    # steady state, best of 3 with distinct keys (the axon runtime
     # memoizes identical executions)
     times = []
     for k in range(1, 4):
         t0 = time.time()
-        out = _scan_from_state(params, config, carry, hj, T0, n_samples,
-                               "sampling", jax.random.PRNGKey(k))
-        np.asarray(out)
+        np.asarray(decode_fn(carry, jax.random.PRNGKey(k)))
         times.append(time.time() - t0)
     elapsed = min(times)
 
@@ -103,6 +116,7 @@ def main():
             "warmup_seconds": round(warmup_s, 3),
             "warmup_compile_seconds": round(t_warm_compile, 1),
             "realtime_x_16k": round(sps / 16000.0, 2),
+            "impl": "pallas" if use_pallas else "scan",
             "model": "arctic-sd 30x512 RF3070 bf16",
             "device": str(jax.devices()[0]),
         },

@@ -40,6 +40,10 @@ def get_parser() -> argparse.ArgumentParser:
                         default=1, type=int)
     parser.add_argument("--mode", default="sampling",
                         choices=["sampling", "argmax"])
+    parser.add_argument("--impl", default="auto",
+                        choices=["auto", "scan", "pallas"],
+                        help="AR decoder backend (pallas = fused TPU "
+                             "kernel, single chip, kernel_size 2)")
     parser.add_argument("--seed", default=1, type=int)
     parser.add_argument("--verbose", default=1, type=int)
     return parser
@@ -127,7 +131,7 @@ def main(argv=None) -> None:
         start = time.time()
         samples_list = batch_fast_generate(
             params, config, x, h, list(n_samples), mode=args.mode,
-            rng=key, mesh=mesh)
+            rng=key, mesh=mesh, impl=args.impl)
         elapsed = time.time() - start
         n_gen = sum(int(n) for n in n_samples[:B])
         logging.info("batch of %d utts: %d samples in %.2f s "

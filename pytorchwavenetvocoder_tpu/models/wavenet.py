@@ -379,10 +379,19 @@ def _warmup_state(params: Params, config: WaveNetConfig,
         return jnp.concatenate(parts, axis=0)                 # (total_cap, Bc, R)
 
     # chunk the teacher-forced warm-up over batch — its activations are
-    # O(B * T0 * channels) and blow HBM for big decode fleets otherwise
+    # O(B * T0 * channels) and blow HBM for big decode fleets otherwise.
+    # lax.map forces the chunks to run SEQUENTIALLY (a python loop has no
+    # data dependence between chunks, so XLA overlaps them and the temp
+    # memory multiplies right back)
     chunk = 64
     if B <= chunk:
         act_buf = fill(x, h_up[:, :T0])
+    elif B % chunk == 0:
+        xc = x.reshape(B // chunk, chunk, T0)
+        hc = h_up[:, :T0].reshape(B // chunk, chunk, T0, h_up.shape[2])
+        bufs = lax.map(lambda args: fill(*args), (xc, hc))
+        # (n_chunks, total_cap, chunk, R) -> (total_cap, B, R)
+        act_buf = jnp.transpose(bufs, (1, 0, 2, 3)).reshape(bufs.shape[1], B, R)
     else:
         bufs = [fill(x[b: b + chunk], h_up[b: b + chunk, :T0])
                 for b in range(0, B, chunk)]
@@ -525,7 +534,8 @@ def _scan_generate(params: Params, config: WaveNetConfig,
 
 def batch_fast_generate(params: Params, config: WaveNetConfig,
                         x, h, n_samples_list, mode: str = "sampling",
-                        rng: jax.Array | None = None, mesh=None):
+                        rng: jax.Array | None = None, mesh=None,
+                        impl: str = "scan"):
     """Batched fast AR generation (reference ``batch_fast_generate``,
     `wavenet.py:397-511`).
 
@@ -540,6 +550,10 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
         'data' axis (the decode-fleet replacement for the reference's
         one-process-per-GPU fan-out, `decode.py:329-338`).  B must be a
         multiple of the data-axis size.
+      impl: "scan" (lax.scan, any config, mesh-shardable), "pallas"
+        (fused single-chip TPU kernel, kernel_size 2 / 128-multiple
+        channels; see ops/ar_kernel.py), or "auto" (pallas when supported
+        and no mesh was given).
 
     Returns:
       list of np.int32 arrays, one per utterance in input order, each of
@@ -559,6 +573,17 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
         h = jnp.pad(h, ((0, 0), (0, need - h.shape[1]), (0, 0)), mode="edge")
     if rng is None:
         rng = jax.random.PRNGKey(0)
+
+    use_pallas = False
+    if impl in ("pallas", "auto"):
+        from pytorchwavenetvocoder_tpu.ops.ar_kernel import supports_pallas_ar
+
+        on_tpu = jax.default_backend() == "tpu"
+        use_pallas = supports_pallas_ar(c) and mesh is None and on_tpu
+        if impl == "pallas" and not use_pallas:
+            raise ValueError("pallas AR kernel does not support this "
+                             "config/mesh/backend; use impl='scan'")
+
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -567,7 +592,15 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
         x = jax.device_put(x, sh)
         h = jax.device_put(h, sh)
         params = jax.device_put(params, repl)
-    samples = _scan_generate(params, config, x, h, max_n, mode, rng)
+
+    if use_pallas:
+        from pytorchwavenetvocoder_tpu.ops.ar_kernel import pallas_ar_generate
+
+        carry = _warmup_state(params, config, x, h)
+        samples = pallas_ar_generate(params, config, carry, h, x.shape[1],
+                                     max_n, mode, rng)
+    else:
+        samples = _scan_generate(params, config, x, h, max_n, mode, rng)
     samples = np.asarray(jax.device_get(samples))
     return [samples[b, : int(n)] for b, n in enumerate(n_samples_list)]
 

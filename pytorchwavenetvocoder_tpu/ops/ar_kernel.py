@@ -9,19 +9,21 @@ kernel runs the WHOLE sample loop on-core:
 - grid = (n_samples,); TPU grid iterations run sequentially, so VMEM
   scratch carries the decoder state (residual vector, previous sample
   ids, skip accumulator) across samples with zero host round-trips;
-- per-layer weights are packed as one (L, R, 2R | 2R | S+R) block and
-  streamed HBM->VMEM with a double-buffered async DMA a layer ahead of
-  the compute chain;
-- the fast-WaveNet ring buffers live in HBM; for kernel_size 2 the read
+- **weights live resident in VMEM** (v5e has ~128 MB; the flagship
+  arctic-sd pack is 86 MB bf16) so per-sample HBM traffic collapses to
+  the ring-buffer taps — the decoder becomes compute-bound.  Models
+  whose pack exceeds the VMEM budget fall back to streaming the layer
+  pack HBM->VMEM with a double-buffered DMA one layer ahead;
+- the fast-WaveNet ring buffers stay in HBM; for kernel_size 2 the read
   and write slot of layer l at position p coincide (cap_l == d_l and
   (p - d_l) % d_l == p % d_l), so each layer is ONE slice DMA in and ONE
   out, staged through the same VMEM buffer;
-- aux conditioning, the one-hot input conv (realized as a one-hot
-  matmul on the MXU), the ReLU/1x1 post stack, and Gumbel-max sampling
-  (pltpu PRNG) all happen in-kernel.
+- aux conditioning, the one-hot input conv (a one-hot matmul on the
+  MXU), the ReLU/1x1 post stack, and Gumbel-max sampling (pltpu PRNG)
+  all happen in-kernel.
 
-Restrictions: kernel_size == 2, bfloat16 weights.  Other configurations
-fall back to the lax.scan path.
+Restrictions: kernel_size == 2, channel counts multiples of 128,
+n_quantize 256.  Other configurations use the lax.scan path.
 """
 
 from __future__ import annotations
@@ -34,6 +36,10 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# VMEM planning: v5e TensorCore VMEM measured at ~120+ MB usable; leave
+# headroom for Mosaic's stack and the pipeline buffers
+VMEM_BUDGET_BYTES = 112 * 1024 * 1024
 
 
 def supports_pallas_ar(config, backend: str | None = None) -> bool:
@@ -48,7 +54,7 @@ def supports_pallas_ar(config, backend: str | None = None) -> bool:
 
 
 def _pack_weights(params, config):
-    """Pack per-layer weights for streaming: (L, R, 2R + 2R + S + R) bf16.
+    """Pack per-layer weights for the kernel: (L, R, 2R + 2R + S + R) bf16.
 
     Columns: [w_cur (2R) | w_past (2R) | skip+res (S+R)].
     """
@@ -85,6 +91,19 @@ def _pack_weights(params, config):
     return wpack, aux, causal_pack, post1_w, post2_w, biases
 
 
+def weights_resident(config, B: int) -> bool:
+    """Static decision: does the weight pack + working set fit VMEM?"""
+    c = config
+    R, S, L = c.n_resch, c.n_skipch, c.n_layers
+    W = 5 * R + S
+    pack = L * R * W * 2
+    working = (L * B * R * 2          # tap staging
+               + L * 32 * 2 * R * 2  # aux pack
+               + B * R * 8           # residual/gate temporaries
+               + 8 * 1024 * 1024)    # stack headroom
+    return pack + working < VMEM_BUDGET_BYTES
+
+
 @partial(jax.jit, static_argnames=("config", "T0", "max_n", "mode", "interpret"))
 def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                        mode: str, rng, interpret: bool = False):
@@ -105,12 +124,15 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
     offsets = np.concatenate([[0], np.cumsum(caps[:-1])]).astype(int)
     offsets = [int(o) for o in offsets]
     W = 2 * R + 2 * R + S + R
+    resident = weights_resident(c, B)
 
     wpack, auxpack, causal_pack, post1_w, post2_w, biases = _pack_weights(params, c)
     aux_rows = auxpack.shape[1]
+    # the h stream is sliced out of HBM per step: its minor dim must be
+    # 128-aligned on TPU (Mosaic memref_slice tiling constraint)
+    h_rows = max(128, ((aux_rows + 127) // 128) * 128)
 
-    # aux stream, time-major and row-padded for clean (1, B, aux_rows) DMAs
-    h_t = jnp.zeros((T0 + max_n, B, aux_rows), jnp.float32)
+    h_t = jnp.zeros((T0 + max_n, B, h_rows), jnp.float32)
     h_t = h_t.at[:, :, :A].set(
         jnp.transpose(h_up[:, : T0 + max_n, :], (1, 0, 2)).astype(jnp.float32))
 
@@ -122,14 +144,20 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
     else:
         seed = jnp.zeros((1, 1), jnp.int32)
 
-    def kernel(seed_ref,                       # SMEM
-               wpack_ref, h_ref, actbuf_in_ref,   # ANY/HBM
-               auxpack_ref, causal_ref, post1_ref, post2_ref,  # VMEM consts
+    def kernel(seed_ref,                          # SMEM
+               wpack_ref, h_ref, actbuf_in_ref,   # wpack VMEM if resident
+               auxpack_ref, causal_ref, post1_ref, post2_ref,
                dil_b_ref, sr_b_ref, causal_b_ref, post1_b_ref, post2_b_ref,
                prev_init_ref,
-               samples_ref, actbuf_ref,        # outputs (actbuf aliased)
-               tap_buf, w_buf, hcol_buf, out_buf, g_buf, prev_buf, samp_buf,
-               read_sems, write_sems, w_sems, h_sem, samp_sem):
+               samples_ref, actbuf_ref,           # outputs (actbuf aliased)
+               *scratch):
+        if resident:
+            (tap_buf, hcol_buf, out_buf, prev_buf, samp_buf,
+             read_sems, write_sems, h_sem, samp_sem) = scratch
+        else:
+            (tap_buf, w_buf, hcol_buf, out_buf, prev_buf, samp_buf,
+             read_sems, write_sems, w_sems, h_sem, samp_sem) = scratch
+
         i = pl.program_id(0)
         p = T0 - 1 + i
 
@@ -138,6 +166,11 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                 wpack_ref.at[pl.ds(l, 1)],
                 w_buf.at[pl.ds(l % 2, 1)],
                 w_sems.at[l % 2])
+
+        def w_cols(l, lo, hi):
+            if resident:
+                return wpack_ref[l, :, lo:hi]
+            return w_buf[l % 2, :, lo:hi]
 
         def tap_read_dma(l, slot):
             return pltpu.make_async_copy(
@@ -159,7 +192,11 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         @pl.when(i == 0)
         def _():
             prev_buf[:] = prev_init_ref[:]
-            w_dma(0).start()
+
+        if not resident:
+            @pl.when(i == 0)
+            def _():
+                w_dma(0).start()
 
         h_dma().start()
         slots = []
@@ -179,43 +216,45 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         out_buf[:] = out
 
         h_dma().wait()
-        hcol = hcol_buf[0].astype(jnp.bfloat16)   # (B, aux_rows)
+        hcol = hcol_buf[0, :, :aux_rows].astype(jnp.bfloat16)  # (B, aux_rows)
 
         skip = jnp.zeros((B, S), jnp.float32)
 
         # ---- layer chain ---------------------------------------------
         for l in range(L):
-            w_dma(l).wait()
-            if l + 1 < L:
-                w_dma(l + 1).start()
+            if not resident:
+                w_dma(l).wait()
+                if l + 1 < L:
+                    w_dma(l + 1).start()
+
             tap_read_dma(l, slots[l]).wait()
             tap = tap_buf[l]                      # (B, R) bf16
 
             out_bf = out_buf[:].astype(jnp.bfloat16)
-            z = jnp.dot(out_bf, w_buf[l % 2, :, 0: 2 * R],
+            z = jnp.dot(out_bf, w_cols(l, 0, 2 * R),
                         preferred_element_type=jnp.float32)
-            z = z + jnp.dot(tap, w_buf[l % 2, :, 2 * R: 4 * R],
+            z = z + jnp.dot(tap, w_cols(l, 2 * R, 4 * R),
                             preferred_element_type=jnp.float32)
             z = z + jnp.dot(hcol, auxpack_ref[l],
                             preferred_element_type=jnp.float32)
             z = z + dil_b_ref[l][None, :]
-            g = jax.nn.sigmoid(z[:, :R]) * jnp.tanh(z[:, R:])
-            g_buf[:] = g.astype(jnp.bfloat16)
+            g = (jax.nn.sigmoid(z[:, :R]) * jnp.tanh(z[:, R:])).astype(jnp.bfloat16)
 
             # stage this layer's input into the (now free) tap buffer and
             # write it back to the same ring slot for future taps
             tap_buf[l] = out_bf
             tap_write_dma(l, slots[l]).start()
 
-            sr = jnp.dot(g_buf[:], w_buf[l % 2, :, 4 * R:],
+            sr = jnp.dot(g, w_cols(l, 4 * R, W),
                          preferred_element_type=jnp.float32) + sr_b_ref[l][None, :]
             skip = skip + sr[:, :S]
             out_buf[:] = sr[:, S:] + out_buf[:]
 
-        # prefetch layer 0 for the next step (lands in buf 0: L is even)
-        @pl.when(i + 1 < max_n)
-        def _():
-            w_dma(0).start()
+        if not resident:
+            # prefetch layer 0 for the next step (lands in buf 0: L even)
+            @pl.when(i + 1 < max_n)
+            def _():
+                w_dma(0).start()
 
         # ---- post stack + sampling -----------------------------------
         post = jax.nn.relu(skip).astype(jnp.bfloat16)
@@ -235,25 +274,54 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         else:
             sample = jnp.argmax(logits, axis=1).astype(jnp.int32)
 
-        samp_buf[0, :] = sample
-        samp_dma = pltpu.make_async_copy(
-            samp_buf, samples_ref.at[pl.ds(i, 1)], samp_sem)
-        samp_dma.start()
+        # samples flush in 8-row blocks (HBM sublane tiling alignment)
+        samp_buf[i % 8, :] = sample
+
+        @pl.when((i % 8 == 7) | (i == max_n - 1))
+        def _():
+            blk = pl.multiple_of((i // 8) * 8, 8)
+            samp_dma = pltpu.make_async_copy(
+                samp_buf, samples_ref.at[pl.ds(blk, 8)], samp_sem)
+            samp_dma.start()
+            samp_dma.wait()
+
         prev_buf[:, 0:1] = prev_buf[:, 1:2]
         prev_buf[:, 1:2] = sample[:, None]
 
         # ensure ring writes land before the next step reads them
         for l in range(L):
             tap_write_dma(l, slots[l]).wait()
-        samp_dma.wait()
 
     total_cap = act_buf.shape[0]
+
+    scratch_shapes = [pltpu.VMEM((L, B, R), jnp.bfloat16)]     # tap_buf
+    if not resident:
+        scratch_shapes.append(pltpu.VMEM((2, R, W), jnp.bfloat16))  # w_buf
+    scratch_shapes += [
+        pltpu.VMEM((1, B, h_rows), jnp.float32),  # hcol
+        pltpu.VMEM((B, R), jnp.float32),          # out_buf
+        pltpu.VMEM((B, 2), jnp.int32),            # prev_buf
+        pltpu.VMEM((8, B), jnp.int32),            # samp_buf
+        pltpu.SemaphoreType.DMA((L,)),            # read_sems
+        pltpu.SemaphoreType.DMA((L,)),            # write_sems
+    ]
+    if not resident:
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))   # w_sems
+    scratch_shapes += [
+        pltpu.SemaphoreType.DMA(()),              # h_sem
+        pltpu.SemaphoreType.DMA(()),              # samp_sem
+    ]
+
+    wpack_spec = (pl.BlockSpec((L, R, W), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+                  if resident else pl.BlockSpec(memory_space=pltpu.ANY))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(max_n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # seed
-            pl.BlockSpec(memory_space=pltpu.ANY),     # wpack
+            wpack_spec,                               # wpack
             pl.BlockSpec(memory_space=pltpu.ANY),     # h_t
             pl.BlockSpec(memory_space=pltpu.ANY),     # act_buf (aliased)
             pl.BlockSpec((L, aux_rows, 2 * R), lambda i: (0, 0, 0),
@@ -273,34 +341,26 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((L, B, R), jnp.bfloat16),     # tap_buf
-            pltpu.VMEM((2, R, W), jnp.bfloat16),     # w_buf
-            pltpu.VMEM((1, B, aux_rows), jnp.float32),  # hcol
-            pltpu.VMEM((B, R), jnp.float32),         # out_buf
-            pltpu.VMEM((B, R), jnp.bfloat16),        # g_buf
-            pltpu.VMEM((B, 2), jnp.int32),           # prev_buf
-            pltpu.VMEM((1, B), jnp.int32),           # samp_buf
-            pltpu.SemaphoreType.DMA((L,)),           # read_sems
-            pltpu.SemaphoreType.DMA((L,)),           # write_sems
-            pltpu.SemaphoreType.DMA((2,)),           # w_sems
-            pltpu.SemaphoreType.DMA(()),             # h_sem
-            pltpu.SemaphoreType.DMA(()),             # samp_sem
-        ],
+        scratch_shapes=scratch_shapes,
     )
 
+    max_n_pad = ((max_n + 7) // 8) * 8
     samples, _ = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((max_n, B), jnp.int32),
+            jax.ShapeDtypeStruct((max_n_pad, B), jnp.int32),
             jax.ShapeDtypeStruct((total_cap, B, R), jnp.bfloat16),
         ],
         input_output_aliases={3: 1},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # the default scoped-vmem budget is 16 MiB; resident weights
+            # + scratch at large B need most of the chip's ~128 MiB
+            vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(seed, wpack, h_t, act_buf, auxpack, causal_pack, post1_w, post2_w,
       biases["dil_b"], biases["sr_b"], biases["causal_b"],
       biases["post1_b"], biases["post2_b"], prev2)
 
-    return jnp.transpose(samples, (1, 0))
+    return jnp.transpose(samples[:max_n], (1, 0))

@@ -1,0 +1,102 @@
+"""Pallas AR kernel equivalence tests (interpret mode on the CPU mesh).
+
+The kernel must reproduce the lax.scan decoder exactly under identical
+arithmetic (interpret mode evaluates the same op graph in f32).  On real
+TPUs the bf16 rounding of the two implementations differs slightly, so
+argmax trajectories can diverge at near-ties; that path is exercised by
+bench.py on hardware.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pytorchwavenetvocoder_tpu.models.wavenet import (
+    WaveNetConfig,
+    _pad_seed,
+    _scan_from_state,
+    _warmup_state,
+    init_wavenet_params,
+)
+from pytorchwavenetvocoder_tpu.ops.ar_kernel import (
+    pallas_ar_generate,
+    supports_pallas_ar,
+)
+
+
+def small_cfg(**kw):
+    base = dict(n_quantize=256, n_aux=28, n_resch=128, n_skipch=128,
+                dilation_depth=3, dilation_repeat=2, kernel_size=2,
+                upsampling_factor=0, compute_dtype="bfloat16")
+    base.update(kw)
+    return WaveNetConfig(**base)
+
+
+def test_supports_matrix():
+    assert supports_pallas_ar(small_cfg())
+    assert not supports_pallas_ar(small_cfg(kernel_size=3))
+    assert not supports_pallas_ar(small_cfg(n_resch=100))
+    assert supports_pallas_ar(WaveNetConfig())  # flagship arctic config
+
+
+def _make(cfg, B, n, seed=0):
+    rng = np.random.RandomState(seed)
+    T = cfg.receptive_field
+    x = rng.randint(0, 256, (B, T)).astype(np.int32)
+    h = rng.randn(B, T + n, cfg.n_aux).astype(np.float32)
+    xj, hj = _pad_seed(cfg, jnp.asarray(x), jnp.asarray(h, jnp.float32))
+    return xj, hj
+
+
+@pytest.mark.parametrize("B", [4, 8])
+def test_pallas_matches_scan_argmax(B):
+    cfg = small_cfg()
+    params = init_wavenet_params(jax.random.PRNGKey(3), cfg)
+    n = 20
+    xj, hj = _make(cfg, B, n)
+    T0 = xj.shape[1]
+    carry = _warmup_state(params, cfg, xj, hj)
+    ref = np.asarray(_scan_from_state(params, cfg, carry, hj, T0, n,
+                                      "argmax", jax.random.PRNGKey(0)))
+    out = np.asarray(pallas_ar_generate(params, cfg, carry, hj, T0, n,
+                                        "argmax", jax.random.PRNGKey(0),
+                                        interpret=True))
+    np.testing.assert_array_equal(ref, out)
+
+
+@pytest.mark.skip(reason="pltpu.prng_seed has no CPU interpret lowering; "
+                         "sampling mode is exercised on hardware by bench.py")
+def test_pallas_sampling_mode_runs():
+    cfg = small_cfg()
+    params = init_wavenet_params(jax.random.PRNGKey(4), cfg)
+    n, B = 12, 4
+    xj, hj = _make(cfg, B, n, seed=1)
+    T0 = xj.shape[1]
+    carry = _warmup_state(params, cfg, xj, hj)
+    out = np.asarray(pallas_ar_generate(params, cfg, carry, hj, T0, n,
+                                        "sampling", jax.random.PRNGKey(7),
+                                        interpret=True))
+    assert out.shape == (B, n)
+    assert out.min() >= 0 and out.max() < 256
+    out2 = np.asarray(pallas_ar_generate(params, cfg, carry, hj, T0, n,
+                                         "sampling", jax.random.PRNGKey(8),
+                                         interpret=True))
+    assert (out != out2).any()
+
+
+def test_pallas_deeper_dilations():
+    """Exercise slot arithmetic across a repeat boundary (d: 1..8, 1..8)."""
+    cfg = small_cfg(dilation_depth=4, dilation_repeat=2)
+    params = init_wavenet_params(jax.random.PRNGKey(5), cfg)
+    n, B = 18, 4
+    xj, hj = _make(cfg, B, n, seed=2)
+    T0 = xj.shape[1]
+    carry = _warmup_state(params, cfg, xj, hj)
+    ref = np.asarray(_scan_from_state(params, cfg, carry, hj, T0, n,
+                                      "argmax", jax.random.PRNGKey(0)))
+    out = np.asarray(pallas_ar_generate(params, cfg, carry, hj, T0, n,
+                                        "argmax", jax.random.PRNGKey(0),
+                                        interpret=True))
+    np.testing.assert_array_equal(ref, out)

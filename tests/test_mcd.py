@@ -1,0 +1,49 @@
+"""MCD metric tests."""
+
+import numpy as np
+import pytest
+
+from pytorchwavenetvocoder_tpu.eval.mcd import compute_mcd, mcd_from_wavs
+from pytorchwavenetvocoder_tpu.utils import write_wav
+
+
+def _speechy(seed, n=16000):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / 16000.0
+    return (0.5 * np.sin(2 * np.pi * 150 * t)
+            + 0.2 * np.sin(2 * np.pi * 300 * t)
+            + 0.05 * rng.randn(n))
+
+
+def test_mcd_zero_for_identical():
+    x = _speechy(0)
+    assert compute_mcd(x, x, 16000) < 1e-8
+
+
+def test_mcd_orders_by_similarity():
+    x = _speechy(0)
+    near = x + 0.01 * np.random.RandomState(1).randn(len(x))
+    far = _speechy(2) * 0.3 + 0.3 * np.random.RandomState(3).randn(len(x))
+    d_near = compute_mcd(x, near, 16000)
+    d_far = compute_mcd(x, far, 16000)
+    assert 0 < d_near < d_far
+
+
+def test_mcd_shift_tolerance():
+    x = _speechy(4)
+    shifted = np.roll(x, 256)  # exactly one hop
+    assert compute_mcd(x, shifted, 16000) < compute_mcd(
+        x, shifted, 16000, shift_search=0) + 1e-9
+
+
+def test_mcd_from_wavs(tmp_path):
+    a, b = str(tmp_path / "a.wav"), str(tmp_path / "b.wav")
+    x = _speechy(5)
+    write_wav(a, x.astype(np.float32) * 0.5, 16000)
+    write_wav(b, x.astype(np.float32) * 0.5, 16000)
+    assert mcd_from_wavs(a, b) < 1e-6
+
+
+def test_mcd_too_short_raises():
+    with pytest.raises(ValueError):
+        compute_mcd(np.zeros(100), np.zeros(100), 16000)
