@@ -1,0 +1,112 @@
+"""Checkpoint-conversion parity tests.
+
+When the reference implementation is present (mounted read-only at
+/root/reference) and torch is importable, these tests instantiate the
+actual reference PyTorch WaveNet, convert its state_dict, and assert
+that this framework reproduces its forward logits and argmax generation
+— the strongest fidelity check available (SURVEY.md §7 step 3).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from pytorchwavenetvocoder_tpu.convert import (
+    config_from_torch_conf,
+    params_from_torch_state_dict,
+)
+from pytorchwavenetvocoder_tpu.models.wavenet import (
+    WaveNetConfig,
+    fast_generate,
+    wavenet_forward,
+)
+
+REFERENCE = "/root/reference"
+
+
+def _load_reference_wavenet():
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir(os.path.join(REFERENCE, "wavenet_vocoder")):
+        pytest.skip("reference implementation not available")
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from wavenet_vocoder.nets import WaveNet as TorchWaveNet  # noqa: E501
+
+    return torch, TorchWaveNet
+
+
+def _build_pair(torch, TorchWaveNet, **kw):
+    cfg = WaveNetConfig(compute_dtype="float64", **kw)
+    torch.manual_seed(0)
+    net = TorchWaveNet(
+        n_quantize=cfg.n_quantize, n_aux=cfg.n_aux, n_resch=cfg.n_resch,
+        n_skipch=cfg.n_skipch, dilation_depth=cfg.dilation_depth,
+        dilation_repeat=cfg.dilation_repeat, kernel_size=cfg.kernel_size,
+        upsampling_factor=cfg.upsampling_factor)
+    net.eval()
+    # randomize parameters away from default init for a stronger check
+    with torch.no_grad():
+        for p in net.parameters():
+            p.copy_(torch.randn_like(p) * 0.1)
+    params = params_from_torch_state_dict(net.state_dict(), cfg)
+    return cfg, net, params
+
+
+@pytest.mark.parametrize("kernel_size,upsampling_factor",
+                         [(2, 0), (3, 0), (2, 10)])
+def test_forward_parity_vs_reference(kernel_size, upsampling_factor):
+    torch, TorchWaveNet = _load_reference_wavenet()
+    cfg, net, params = _build_pair(
+        torch, TorchWaveNet, n_aux=8, n_resch=16, n_skipch=16,
+        dilation_depth=3, dilation_repeat=2, kernel_size=kernel_size,
+        upsampling_factor=upsampling_factor)
+
+    rng = np.random.RandomState(0)
+    B, T = 2, 80
+    x = rng.randint(0, 256, (B, T)).astype(np.int64)
+    if upsampling_factor > 0:
+        h = rng.randn(B, cfg.n_aux, T // upsampling_factor).astype(np.float32)
+    else:
+        h = rng.randn(B, cfg.n_aux, T).astype(np.float32)
+
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x), torch.from_numpy(h)).numpy()
+
+    # our layout is channels-last
+    ours = np.asarray(wavenet_forward(params, cfg, x.astype(np.int32),
+                                      np.transpose(h, (0, 2, 1))))
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_generation_parity_vs_reference():
+    torch, TorchWaveNet = _load_reference_wavenet()
+    cfg, net, params = _build_pair(
+        torch, TorchWaveNet, n_aux=8, n_resch=16, n_skipch=16,
+        dilation_depth=3, dilation_repeat=1, kernel_size=2,
+        upsampling_factor=0)
+
+    rng = np.random.RandomState(1)
+    T = cfg.receptive_field
+    n = 25
+    x = rng.randint(0, 256, (1, T)).astype(np.int64)
+    h = rng.randn(1, cfg.n_aux, T + n).astype(np.float32)
+
+    with torch.no_grad():
+        ref = net.generate(torch.from_numpy(x), torch.from_numpy(h), n,
+                           mode="argmax")
+    ours = fast_generate(params, cfg, x.astype(np.int32),
+                         np.transpose(h, (0, 2, 1)), n, mode="argmax")
+    np.testing.assert_array_equal(np.asarray(ref, np.int64),
+                                  np.asarray(ours, np.int64))
+
+
+def test_config_from_torch_conf():
+    conf = dict(n_quantize=256, n_aux=28, n_resch=64, n_skipch=32,
+                dilation_depth=5, dilation_repeat=2, kernel_size=2,
+                upsampling_factor=80, use_upsampling_layer=True)
+    cfg = config_from_torch_conf(conf)
+    assert cfg.n_resch == 64 and cfg.upsampling_factor == 80
+    conf["use_upsampling_layer"] = False
+    assert config_from_torch_conf(conf).upsampling_factor == 0
