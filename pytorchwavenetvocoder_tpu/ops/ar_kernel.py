@@ -138,6 +138,9 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
 
     act_buf = act_buf.astype(jnp.bfloat16)
     prev2 = jnp.stack([sample_hist[:, -1], prev], axis=1).astype(jnp.int32)
+    # the samples output is (rows, B): its lane dim must be 128-aligned
+    # for the block DMA, so pad the batch lane and slice after
+    B_pad = max(128, ((B + 127) // 128) * 128)
 
     if mode == "sampling":
         seed = jax.random.randint(rng, (1, 1), 0, np.int32(2**31 - 1), jnp.int32)
@@ -287,7 +290,7 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
             sample = jnp.argmax(logits, axis=1).astype(jnp.int32)
 
         # samples flush in 8-row blocks (HBM sublane tiling alignment)
-        samp_buf[i % 8, :] = sample
+        samp_buf[i % 8, :B] = sample
 
         @pl.when((i % 8 == 7) | (i == max_n - 1))
         def _():
@@ -313,7 +316,7 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         pltpu.VMEM((1, B, h_rows), jnp.float32),  # hcol
         pltpu.VMEM((B, R), jnp.float32),          # out_buf
         pltpu.VMEM((B, 2), jnp.int32),            # prev_buf
-        pltpu.VMEM((8, B), jnp.int32),            # samp_buf
+        pltpu.VMEM((8, B_pad), jnp.int32),            # samp_buf
         pltpu.SemaphoreType.DMA((L,)),            # read_sems
         pltpu.SemaphoreType.DMA((L,)),            # write_sems
     ]
@@ -361,7 +364,7 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((max_n_pad, B), jnp.int32),
+            jax.ShapeDtypeStruct((max_n_pad, B_pad), jnp.int32),
             jax.ShapeDtypeStruct((total_cap, B, R), jnp.bfloat16),
         ],
         input_output_aliases={3: 1},
@@ -375,4 +378,4 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
       biases["dil_b"], biases["sr_b"], biases["causal_b"],
       biases["post1_b"], biases["post2_b"], prev2)
 
-    return jnp.transpose(samples[:max_n], (1, 0))
+    return jnp.transpose(samples[:max_n, :B], (1, 0))
