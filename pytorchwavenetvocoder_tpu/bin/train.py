@@ -68,6 +68,10 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--compute_dtype", default="bfloat16",
                         choices=["float32", "bfloat16"],
                         help="matmul dtype (accumulation stays f32)")
+    parser.add_argument("--profile_dir", default=None, type=str,
+                        help="write a jax.profiler trace of iterations "
+                             "10..20 to this directory (for xprof/"
+                             "tensorboard)")
     parser.add_argument("--verbose", default=1, type=int)
     return parser
 
@@ -184,6 +188,11 @@ def main(argv=None) -> None:
     loss_sum = 0.0
     total = 0.0
     for i in range(iterations, args.iters):
+        if args.profile_dir and i == iterations + 10:
+            jax.profiler.start_trace(args.profile_dir)
+        if args.profile_dir and i == iterations + 20:
+            jax.profiler.stop_trace()
+            logging.info("profiler trace written to %s", args.profile_dir)
         start = time.time()
         (batch_x, batch_h), batch_t = next(generator)
         if mesh is not None:

@@ -532,6 +532,31 @@ def _scan_generate(params: Params, config: WaveNetConfig,
                             max_n, mode, rng)
 
 
+def pallas_mesh_generate(params: Params, config: WaveNetConfig, carry, h,
+                         T0: int, max_n: int, mode: str, rng, mesh,
+                         interpret: bool = False):
+    """Decode fleet over a mesh: each chip runs the fused Pallas kernel
+    on its batch shard (shard_map keeps the kernel single-chip; the RNG
+    key is decorrelated per shard via the data-axis index)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from pytorchwavenetvocoder_tpu.ops.ar_kernel import pallas_ar_generate
+
+    def shard_fn(params, carry, h, rng):
+        key = jax.random.fold_in(rng, lax.axis_index("data"))
+        return pallas_ar_generate(params, config, carry, h, T0,
+                                  max_n, mode, key, interpret=interpret)
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(), (P(None, "data"), P("data"), P("data")),
+                  P("data"), P()),
+        out_specs=P("data"),
+        check_rep=False,
+    )(params, carry, h, rng)
+
+
 def batch_fast_generate(params: Params, config: WaveNetConfig,
                         x, h, n_samples_list, mode: str = "sampling",
                         rng: jax.Array | None = None, mesh=None,
@@ -579,7 +604,9 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
         from pytorchwavenetvocoder_tpu.ops.ar_kernel import supports_pallas_ar
 
         on_tpu = jax.default_backend() == "tpu"
-        use_pallas = supports_pallas_ar(c) and mesh is None and on_tpu
+        use_pallas = supports_pallas_ar(c) and on_tpu
+        if mesh is not None and x.shape[0] % mesh.shape["data"] != 0:
+            use_pallas = False
         if impl == "pallas" and not use_pallas:
             raise ValueError("pallas AR kernel does not support this "
                              "config/mesh/backend; use impl='scan'")
@@ -597,8 +624,13 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
         from pytorchwavenetvocoder_tpu.ops.ar_kernel import pallas_ar_generate
 
         carry = _warmup_state(params, config, x, h)
-        samples = pallas_ar_generate(params, config, carry, h, x.shape[1],
-                                     max_n, mode, rng)
+        if mesh is None:
+            samples = pallas_ar_generate(params, config, carry, h,
+                                         x.shape[1], max_n, mode, rng)
+        else:
+            samples = pallas_mesh_generate(params, config, carry, h,
+                                           x.shape[1], max_n, mode, rng,
+                                           mesh)
     else:
         samples = _scan_generate(params, config, x, h, max_n, mode, rng)
     samples = np.asarray(jax.device_get(samples))

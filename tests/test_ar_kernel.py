@@ -100,3 +100,24 @@ def test_pallas_deeper_dilations():
                                         "argmax", jax.random.PRNGKey(0),
                                         interpret=True))
     np.testing.assert_array_equal(ref, out)
+
+
+def test_pallas_mesh_generate_matches_scan():
+    """shard_map'd pallas kernel over the 8-device CPU mesh (interpret
+    mode) must match the scan decoder, argmax."""
+    from pytorchwavenetvocoder_tpu.models.wavenet import pallas_mesh_generate
+    from pytorchwavenetvocoder_tpu.parallel import make_mesh
+
+    cfg = small_cfg()
+    params = init_wavenet_params(jax.random.PRNGKey(9), cfg)
+    B, n = 16, 15  # 2 utterances per device
+    xj, hj = _make(cfg, B, n, seed=3)
+    T0 = xj.shape[1]
+    mesh = make_mesh(8)
+    carry = _warmup_state(params, cfg, xj, hj)
+    ref = np.asarray(_scan_from_state(params, cfg, carry, hj, T0, n,
+                                      "argmax", jax.random.PRNGKey(0)))
+    out = np.asarray(pallas_mesh_generate(params, cfg, carry, hj, T0, n,
+                                          "argmax", jax.random.PRNGKey(0),
+                                          mesh, interpret=True))
+    np.testing.assert_array_equal(ref, out)
