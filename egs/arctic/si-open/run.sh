@@ -29,8 +29,8 @@ stage=0123456
 feature_type=world  # world or melspc (fixed in this recipe)
 train_spks=(bdl rms clb ksp jmk) # speakers for training
 eval_spks=(slt)  # speakers for evaluation
-minf0=40               # minimum f0
-maxf0=400              # maximum f0
+minf0=""               # minimum f0 (if not set, conf/*.f0 will be used)
+maxf0=""               # maximum f0 (if not set, conf/*.f0 will be used)
 shiftms=5              # shift length in msec
 fftl=1024              # fft length
 highpass_cutoff=70     # highpass filter cutoff frequency (0 = off)
@@ -136,12 +136,24 @@ if echo ${stage} | grep -q 1; then
     echo "#               FEATURE EXTRACTION STEP                   #"
     echo "###########################################################"
     for set in ${train} ${eval};do
-        ${train_cmd} --num-threads ${n_jobs} exp/feature_extract/feature_extract_${set}.log \
-            feature_extract.py \
-                --waveforms data/${set}/wav.scp \
-                --wavdir wav_hpf/${set} \
-                --hdf5dir hdf5/${set} \
-                --feature_type ${feature_type} \
+        if [ ${set} = ${train} ]; then
+            spk_list=("${train_spks[@]}")
+        else
+            spk_list=("${eval_spks[@]}")
+        fi
+        for spk in "${spk_list[@]}";do
+            mkdir -p exp/feature_extract/${set}
+            # per-speaker wav list and f0 range (conf/<spk>.f0)
+            scp=exp/feature_extract/${set}/wav.${spk}.scp
+            grep ${spk} data/${set}/wav.scp > ${scp}
+            minf0=$(awk '{print $1}' conf/${spk}.f0)
+            maxf0=$(awk '{print $2}' conf/${spk}.f0)
+            ${train_cmd} --num-threads ${n_jobs} exp/feature_extract/feature_extract_${set}.${spk}.log \
+                feature_extract.py \
+                    --waveforms ${scp} \
+                    --wavdir wav_hpf/${set}/${spk} \
+                    --hdf5dir hdf5/${set}/${spk} \
+                    --feature_type ${feature_type} \
                 --fs ${fs} \
                 --shiftms ${shiftms} \
                 --minf0 "${minf0}" \
@@ -151,6 +163,7 @@ if echo ${stage} | grep -q 1; then
                 --highpass_cutoff ${highpass_cutoff} \
                 --fftl ${fftl} \
                 --n_jobs ${n_jobs}
+        done
 
         # check the number of feature files
         n_wavs=$(wc -l < data/${set}/wav.scp)

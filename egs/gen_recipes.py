@@ -214,12 +214,7 @@ if echo ${stage} | grep -q 0; then
                 --fmax "${fmax}" \\
                 --n_jobs ${n_jobs}"""
 
-    if "spks" in r or "train_spks" in r:
-        # multi-speaker world recipes resolve the f0 range per speaker and
-        # extract per speaker set (si recipes)
-        per_spk_f0 = ""
-        if ft == "world" and r.get("f0_from_conf"):
-            per_spk_f0 = ""  # handled via merged wav lists; use global range
+    multi_spk = ("spks" in r or "train_spks" in r) and ft == "world"
     mcep_extra = ""
     if ft == "melspc":
         mcep_extra = """
@@ -241,7 +236,56 @@ if echo ${stage} | grep -q 0; then
                     --n_jobs ${n_jobs}
         fi
 """
-    lines.append(f"""
+    if multi_spk:
+        if "train_spks" in r:
+            spk_select = ("""        if [ ${set} = ${train} ]; then
+            spk_list=("${train_spks[@]}")
+        else
+            spk_list=("${eval_spks[@]}")
+        fi""")
+        else:
+            spk_select = '        spk_list=("${spks[@]}")'
+        lines.append(f"""
+# STAGE 1 {{{{{{
+if echo ${{stage}} | grep -q 1; then
+    echo "###########################################################"
+    echo "#               FEATURE EXTRACTION STEP                   #"
+    echo "###########################################################"
+    for set in ${{train}} ${{eval}};do
+{spk_select}
+        for spk in "${{spk_list[@]}}";do
+            mkdir -p exp/feature_extract/${{set}}
+            # per-speaker wav list and f0 range (conf/<spk>.f0)
+            scp=exp/feature_extract/${{set}}/wav.${{spk}}.scp
+            grep ${{spk}} data/${{set}}/wav.scp > ${{scp}}
+            minf0=$(awk '{{print $1}}' conf/${{spk}}.f0)
+            maxf0=$(awk '{{print $2}}' conf/${{spk}}.f0)
+            ${{train_cmd}} --num-threads ${{n_jobs}} exp/feature_extract/feature_extract_${{set}}.${{spk}}.log \\
+                feature_extract.py \\
+                    --waveforms ${{scp}} \\
+                    --wavdir wav_hpf/${{set}}/${{spk}} \\
+                    --hdf5dir hdf5/${{set}}/${{spk}} \\
+    {feat_flags}
+        done
+
+        # check the number of feature files
+        n_wavs=$(wc -l < data/${{set}}/wav.scp)
+        n_feats=$(find hdf5/${{set}} -name "*.h5" | wc -l)
+        echo "${{n_feats}}/${{n_wavs}} files are successfully processed."
+
+        # make scp files
+        if [ ${{highpass_cutoff}} -eq 0 ];then
+            cp data/${{set}}/wav.scp data/${{set}}/wav_hpf.scp
+        else
+            find wav_hpf/${{set}} -name "*.wav" | sort > data/${{set}}/wav_hpf.scp
+        fi
+        find hdf5/${{set}} -name "*.h5" | sort > data/${{set}}/feats.scp
+    done
+fi
+# }}}}}}
+""")
+    else:
+        lines.append(f"""
 # STAGE 1 {{{{{{
 if echo ${{stage}} | grep -q 1; then
     echo "###########################################################"
@@ -589,7 +633,7 @@ RECIPES = {
     "arctic/si-close": dict(
         title="SCRIPT TO BUILD SI-CLOSE WAVENET VOCODER",
         feature_type="world", spks=["bdl", "rms", "clb", "slt", "ksp", "jmk"],
-        minf0=40, maxf0=400, fixed_ft_check=True,
+        f0_from_conf=True, conf_f0=True, fixed_ft_check=True,
         shiftms=5, fs=16000, mcep_dim=24, mcep_alpha=0.410, n_aux=28,
         db_root_line="ARCTIC_DB_ROOT=downloads # directory including DB (downloaded if missing)",
         set_names=('# set directory names\n'
@@ -606,7 +650,7 @@ RECIPES = {
         title="SCRIPT TO BUILD SI-OPEN WAVENET VOCODER",
         feature_type="world",
         train_spks=["bdl", "rms", "clb", "ksp", "jmk"], eval_spks=["slt"],
-        minf0=40, maxf0=400, fixed_ft_check=True,
+        f0_from_conf=True, conf_f0=True, fixed_ft_check=True,
         shiftms=5, fs=16000, mcep_dim=24, mcep_alpha=0.410, n_aux=28,
         db_root_line="ARCTIC_DB_ROOT=downloads # directory including DB (downloaded if missing)",
         set_names=('# set directory names\n'

@@ -221,16 +221,11 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         h_dma().wait()
         hcol = hcol_buf[0, :, :aux_rows].astype(jnp.bfloat16)  # (B, aux_rows)
 
-        # batch halves: the layer chain is serial per batch row, so two
-        # independent half-batches give the scheduler instruction-level
-        # parallelism to hide MXU dependency latency
-        if B >= 256:
-            halves = [(0, B // 2), (B // 2, B)]
-        else:
-            halves = [(0, B)]
-        skips = [jnp.zeros((hi - lo, S), jnp.float32) for lo, hi in halves]
+        skip = jnp.zeros((B, S), jnp.float32)
 
-        # ---- layer chain ---------------------------------------------
+        # ---- layer chain (serial; splitting the batch into chains with
+        # separate refs was measured NOT to help — Mosaic schedules in
+        # program order, so the chain latency is what it is) -----------
         for l in range(L):
             if not resident:
                 w_dma(l).wait()
@@ -238,32 +233,27 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                     w_dma(l + 1).start()
 
             tap_read_dma(l, slots[l]).wait()
+            tap = tap_buf[l]                      # (B, R) bf16
 
-            for j, (lo, hi) in enumerate(halves):
-                tap = tap_buf[l, lo:hi]               # (Bh, R) bf16
-                out_bf = out_buf[lo:hi].astype(jnp.bfloat16)
-                z = jnp.dot(out_bf, w_cols(l, 0, 2 * R),
+            out_bf = out_buf[:].astype(jnp.bfloat16)
+            z = jnp.dot(out_bf, w_cols(l, 0, 2 * R),
+                        preferred_element_type=jnp.float32)
+            z = z + jnp.dot(tap, w_cols(l, 2 * R, 4 * R),
                             preferred_element_type=jnp.float32)
-                z = z + jnp.dot(tap, w_cols(l, 2 * R, 4 * R),
-                                preferred_element_type=jnp.float32)
-                z = z + jnp.dot(hcol[lo:hi], auxpack_ref[l],
-                                preferred_element_type=jnp.float32)
-                z = z + dil_b_ref[l][None, :]
-                g = (jax.nn.sigmoid(z[:, :R])
-                     * jnp.tanh(z[:, R:])).astype(jnp.bfloat16)
+            z = z + jnp.dot(hcol, auxpack_ref[l],
+                            preferred_element_type=jnp.float32)
+            z = z + dil_b_ref[l][None, :]
+            g = (jax.nn.sigmoid(z[:, :R]) * jnp.tanh(z[:, R:])).astype(jnp.bfloat16)
 
-                # stage this layer's input into the (now free) tap buffer
-                # and write it back to the same ring slot for future taps
-                tap_buf[l, lo:hi] = out_bf
-
-                sr = jnp.dot(g, w_cols(l, 4 * R, W),
-                             preferred_element_type=jnp.float32) + sr_b_ref[l][None, :]
-                skips[j] = skips[j] + sr[:, :S]
-                out_buf[lo:hi] = sr[:, S:] + out_buf[lo:hi]
-
+            # stage this layer's input into the (now free) tap buffer and
+            # write it back to the same ring slot for future taps
+            tap_buf[l] = out_bf
             tap_write_dma(l, slots[l]).start()
 
-        skip = jnp.concatenate(skips, axis=0) if len(skips) > 1 else skips[0]
+            sr = jnp.dot(g, w_cols(l, 4 * R, W),
+                         preferred_element_type=jnp.float32) + sr_b_ref[l][None, :]
+            skip = skip + sr[:, :S]
+            out_buf[:] = sr[:, S:] + out_buf[:]
 
         if not resident:
             # prefetch layer 0 for the next step (lands in buf 0: L even)
