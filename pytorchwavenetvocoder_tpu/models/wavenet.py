@@ -560,7 +560,7 @@ def pallas_mesh_generate(params: Params, config: WaveNetConfig, carry, h,
 def batch_fast_generate(params: Params, config: WaveNetConfig,
                         x, h, n_samples_list, mode: str = "sampling",
                         rng: jax.Array | None = None, mesh=None,
-                        impl: str = "scan"):
+                        impl: str = "scan", intervals: int | None = None):
     """Batched fast AR generation (reference ``batch_fast_generate``,
     `wavenet.py:397-511`).
 
@@ -638,8 +638,14 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
 
 
 def fast_generate(params: Params, config: WaveNetConfig, x, h, n_samples: int,
-                  mode: str = "sampling", rng: jax.Array | None = None):
-    """Single-utterance fast AR generation (reference `wavenet.py:309-395`)."""
+                  mode: str = "sampling", rng: jax.Array | None = None,
+                  intervals: int | None = None):
+    """Single-utterance fast AR generation (reference `wavenet.py:309-395`).
+
+    ``intervals`` is accepted for reference API compatibility; the whole
+    loop is one device dispatch, so there is no per-sample log to emit —
+    throughput is reported by the decode CLI per batch instead.
+    """
     out = batch_fast_generate(params, config, x, h, [n_samples], mode, rng)
     return out[0]
 
@@ -712,12 +718,16 @@ class WaveNet:
 
     __call__ = forward
 
-    def generate(self, x, h, n_samples, mode="sampling", rng=None):
+    def generate(self, x, h, n_samples, intervals=None, mode="sampling",
+                 rng=None):
         return generate(self.params, self.config, x, h, n_samples, mode, rng)
 
-    def fast_generate(self, x, h, n_samples, mode="sampling", rng=None):
+    def fast_generate(self, x, h, n_samples, intervals=None, mode="sampling",
+                      rng=None):
         return fast_generate(self.params, self.config, x, h, n_samples, mode, rng)
 
-    def batch_fast_generate(self, x, h, n_samples_list, mode="sampling", rng=None):
+    def batch_fast_generate(self, x, h, n_samples_list, intervals=None,
+                            mode="sampling", rng=None, mesh=None, impl="auto"):
         return batch_fast_generate(self.params, self.config, x, h,
-                                   n_samples_list, mode, rng)
+                                   n_samples_list, mode, rng, mesh=mesh,
+                                   impl=impl)

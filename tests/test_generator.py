@@ -125,3 +125,21 @@ def test_decode_generator_batch_sorted_and_padded(tmp_path):
         # sorted ascending within batch, padded to max
         assert n_list == sorted(n_list)
         assert h.shape[1] * 80 - 1 == max(n_list)
+
+
+def test_train_generator_speaker_code(tmp_path):
+    """use_speaker_code appends the tiled /speaker_code columns
+    (reference train.py:125-128)."""
+    from pytorchwavenetvocoder_tpu.utils import write_hdf5
+
+    wav_list, feat_list = make_dataset(tmp_path, n=2)
+    for i, f in enumerate(feat_list):
+        write_hdf5(f, "/speaker_code", np.asarray([float(i)], np.float32))
+    gen = train_generator(
+        wav_list, feat_list, receptive_field=100, batch_length=500,
+        batch_size=1, wav_transform=lambda x: encode_mu_law(x, 256),
+        upsampling_factor=80, use_upsampling_layer=True,
+        use_speaker_code=True, shuffle=False, seed=0)
+    (bx, bh), bt = next(gen)
+    assert bh.shape[2] == 29  # 28 aux + 1 speaker code
+    assert np.all(bh[0, :, 28] == bh[0, 0, 28])
