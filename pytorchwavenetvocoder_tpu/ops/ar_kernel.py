@@ -104,14 +104,24 @@ def weights_resident(config, B: int) -> bool:
     return pack + working < VMEM_BUDGET_BYTES
 
 
-@partial(jax.jit, static_argnames=("config", "T0", "max_n", "mode", "interpret"))
+@partial(jax.jit, static_argnames=("config", "T0", "max_n", "mode",
+                                   "interpret", "quantize"))
 def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
-                       mode: str, rng, interpret: bool = False):
+                       mode: str, rng, interpret: bool = False,
+                       quantize: bool = False):
     """Fused AR decode. Same contract as ``_scan_from_state``.
 
     Args:
       carry: (act_buf, sample_hist (B, k-1), prev (B,)) from _warmup_state.
       h_up: (B, >= T0 + max_n, A) sample-rate aux.
+      quantize: run the three large per-layer matmuls on the int8 MXU:
+        weights int8 with per-output-channel scales, activations
+        quantized per row per step.  Opt-in.  Measured NEUTRAL-TO-SLOWER
+        at VMEM-resident shapes (the kernel is schedule-bound, and the
+        quantize/dequantize VPU work outweighs the MXU gain); its value
+        is halving weight DMA for models too large for VMEM residency
+        (streaming mode).  Adds small logit error — check fidelity with
+        eval/mcd before production use.
     Returns:
       (B, max_n) int32 samples.
     """
@@ -127,6 +137,14 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
     resident = weights_resident(c, B)
 
     wpack, auxpack, causal_pack, post1_w, post2_w, biases = _pack_weights(params, c)
+    if quantize:
+        wf = wpack.astype(jnp.float32)                       # (L, R, W)
+        wscale = jnp.maximum(jnp.max(jnp.abs(wf), axis=1), 1e-8) / 127.0
+        wpack = jnp.clip(jnp.round(wf / wscale[:, None, :]), -127, 127
+                         ).astype(jnp.int8)
+        wscale = wscale.astype(jnp.float32)                  # (L, W)
+    else:
+        wscale = jnp.zeros((c.n_layers, W), jnp.float32)     # unused
     aux_rows = auxpack.shape[1]
     # the h stream is sliced out of HBM per step: its minor dim must be
     # 128-aligned on TPU (Mosaic memref_slice tiling constraint)
@@ -148,7 +166,7 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         seed = jnp.zeros((1, 1), jnp.int32)
 
     def kernel(seed_ref,                          # SMEM
-               wpack_ref, h_ref, actbuf_in_ref,   # wpack VMEM if resident
+               wpack_ref, wscale_ref, h_ref, actbuf_in_ref,
                auxpack_ref, causal_ref, post1_ref, post2_ref,
                dil_b_ref, sr_b_ref, causal_b_ref, post1_b_ref, post2_b_ref,
                prev_init_ref,
@@ -174,6 +192,15 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
             if resident:
                 return wpack_ref[l, :, lo:hi]
             return w_buf[l % 2, :, lo:hi]
+
+        def qdot(x_f32, l, lo, hi):
+            """int8 MXU matmul with dynamic per-row activation scales."""
+            sx = jnp.maximum(jnp.max(jnp.abs(x_f32), axis=1, keepdims=True),
+                             1e-8) / 127.0
+            xq = jnp.clip(jnp.round(x_f32 / sx), -127, 127).astype(jnp.int8)
+            acc = jnp.dot(xq, w_cols(l, lo, hi),
+                          preferred_element_type=jnp.int32)
+            return acc.astype(jnp.float32) * sx * wscale_ref[l, lo:hi][None, :]
 
         def tap_read_dma(l, slot):
             return pltpu.make_async_copy(
@@ -236,22 +263,30 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
             tap = tap_buf[l]                      # (B, R) bf16
 
             out_bf = out_buf[:].astype(jnp.bfloat16)
-            z = jnp.dot(out_bf, w_cols(l, 0, 2 * R),
-                        preferred_element_type=jnp.float32)
-            z = z + jnp.dot(tap, w_cols(l, 2 * R, 4 * R),
+            if quantize:
+                z = qdot(out_buf[:], l, 0, 2 * R)
+                z = z + qdot(tap.astype(jnp.float32), l, 2 * R, 4 * R)
+            else:
+                z = jnp.dot(out_bf, w_cols(l, 0, 2 * R),
                             preferred_element_type=jnp.float32)
+                z = z + jnp.dot(tap, w_cols(l, 2 * R, 4 * R),
+                                preferred_element_type=jnp.float32)
             z = z + jnp.dot(hcol, auxpack_ref[l],
                             preferred_element_type=jnp.float32)
             z = z + dil_b_ref[l][None, :]
-            g = (jax.nn.sigmoid(z[:, :R]) * jnp.tanh(z[:, R:])).astype(jnp.bfloat16)
+            gate = jax.nn.sigmoid(z[:, :R]) * jnp.tanh(z[:, R:])
+            g = gate.astype(jnp.bfloat16)
 
             # stage this layer's input into the (now free) tap buffer and
             # write it back to the same ring slot for future taps
             tap_buf[l] = out_bf
             tap_write_dma(l, slots[l]).start()
 
-            sr = jnp.dot(g, w_cols(l, 4 * R, W),
-                         preferred_element_type=jnp.float32) + sr_b_ref[l][None, :]
+            if quantize:
+                sr = qdot(gate, l, 4 * R, W) + sr_b_ref[l][None, :]
+            else:
+                sr = jnp.dot(g, w_cols(l, 4 * R, W),
+                             preferred_element_type=jnp.float32) + sr_b_ref[l][None, :]
             skip = skip + sr[:, :S]
             out_buf[:] = sr[:, S:] + out_buf[:]
 
@@ -299,9 +334,10 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
 
     total_cap = act_buf.shape[0]
 
+    pack_dt = jnp.int8 if quantize else jnp.bfloat16
     scratch_shapes = [pltpu.VMEM((L, B, R), jnp.bfloat16)]     # tap_buf
     if not resident:
-        scratch_shapes.append(pltpu.VMEM((2, R, W), jnp.bfloat16))  # w_buf
+        scratch_shapes.append(pltpu.VMEM((2, R, W), pack_dt))  # w_buf
     scratch_shapes += [
         pltpu.VMEM((1, B, h_rows), jnp.float32),  # hcol
         pltpu.VMEM((B, R), jnp.float32),          # out_buf
@@ -327,6 +363,8 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # seed
             wpack_spec,                               # wpack
+            pl.BlockSpec((L, W), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),    # wscale
             pl.BlockSpec(memory_space=pltpu.ANY),     # h_t
             pl.BlockSpec(memory_space=pltpu.ANY),     # act_buf (aliased)
             pl.BlockSpec((L, aux_rows, 2 * R), lambda i: (0, 0, 0),
@@ -357,15 +395,15 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
             jax.ShapeDtypeStruct((max_n_pad, B_pad), jnp.int32),
             jax.ShapeDtypeStruct((total_cap, B, R), jnp.bfloat16),
         ],
-        input_output_aliases={3: 1},
+        input_output_aliases={4: 1},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # the default scoped-vmem budget is 16 MiB; resident weights
             # + scratch at large B need most of the chip's ~128 MiB
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(seed, wpack, h_t, act_buf, auxpack, causal_pack, post1_w, post2_w,
-      biases["dil_b"], biases["sr_b"], biases["causal_b"],
+    )(seed, wpack, wscale, h_t, act_buf, auxpack, causal_pack, post1_w,
+      post2_w, biases["dil_b"], biases["sr_b"], biases["causal_b"],
       biases["post1_b"], biases["post2_b"], prev2)
 
     return jnp.transpose(samples[:max_n, :B], (1, 0))
