@@ -44,7 +44,7 @@ VMEM_BUDGET_BYTES = 112 * 1024 * 1024
 
 def supports_pallas_ar(config, backend: str | None = None) -> bool:
     """Whether the fused AR kernel can run this config."""
-    if config.kernel_size != 2:
+    if config.kernel_size not in (2, 3):
         return False
     if config.n_resch % 128 != 0 or config.n_skipch % 128 != 0:
         return False
@@ -54,19 +54,20 @@ def supports_pallas_ar(config, backend: str | None = None) -> bool:
 
 
 def _pack_weights(params, config):
-    """Pack per-layer weights for the kernel: (L, R, 2R + 2R + S + R) bf16.
-
-    Columns: [w_cur (2R) | w_past (2R) | skip+res (S+R)].
+    """Pack per-layer weights for the kernel:
+    (L, R, k*2R + S + R) bf16, columns
+    [w_cur (2R) | w_past lag d (2R) | ... | w_past lag (k-1)d | skip+res].
     """
     c = config
-    R, S, L = c.n_resch, c.n_skipch, c.n_layers
-    dil_w = params["dil"]["w"].astype(jnp.bfloat16)       # (L, 2, R, 2R)
-    w_cur = dil_w[:, 1]                                   # current tap
-    w_past = dil_w[:, 0]                                  # lag-d tap
+    R, S, L, k = c.n_resch, c.n_skipch, c.n_layers, c.kernel_size
+    dil_w = params["dil"]["w"].astype(jnp.bfloat16)       # (L, k, R, 2R)
+    blocks = [dil_w[:, k - 1]]                            # current tap
+    for j in range(1, k):                                 # lag j*d taps
+        blocks.append(dil_w[:, k - 1 - j])
     sr_w = jnp.concatenate([params["skip"]["w"], params["res"]["w"]],
                            axis=-1).astype(jnp.bfloat16)  # (L, R, S+R)
-    wpack = jnp.concatenate([w_cur, w_past, sr_w], axis=-1)
-    assert wpack.shape == (L, R, 2 * R + 2 * R + S + R)
+    wpack = jnp.concatenate(blocks + [sr_w], axis=-1)
+    assert wpack.shape == (L, R, k * 2 * R + S + R)
 
     A = c.n_aux
     aux_rows = max(32, ((A + 31) // 32) * 32)
@@ -74,9 +75,10 @@ def _pack_weights(params, config):
     aux = aux.at[:, :A].set(params["aux"]["w"].astype(jnp.bfloat16))
 
     Q = c.n_quantize
-    causal = params["causal"]["w"].astype(jnp.bfloat16)   # (2, Q, R)
-    # rows [0:Q] = previous-sample tap (w0), rows [Q:2Q] = current (w1)
-    causal_pack = jnp.concatenate([causal[0], causal[1]], axis=0)  # (2Q, R)
+    causal = params["causal"]["w"].astype(jnp.bfloat16)   # (k, Q, R)
+    # row block m multiplies the one-hot of the id at lag (k-1-m):
+    # oldest tap first, matching the ids buffer order
+    causal_pack = jnp.concatenate([causal[m] for m in range(k)], axis=0)
 
     biases = dict(
         dil_b=params["dil"]["b"].astype(jnp.float32),
@@ -95,9 +97,9 @@ def weights_resident(config, B: int) -> bool:
     """Static decision: does the weight pack + working set fit VMEM?"""
     c = config
     R, S, L = c.n_resch, c.n_skipch, c.n_layers
-    W = 5 * R + S
+    W = c.kernel_size * 2 * R + S + R
     pack = L * R * W * 2
-    working = (L * B * R * 2          # tap staging
+    working = (L * (c.kernel_size - 1) * B * R * 2  # tap staging
                + L * 32 * 2 * R * 2  # aux pack
                + B * R * 8           # residual/gate temporaries
                + 8 * 1024 * 1024)    # stack headroom
@@ -129,11 +131,12 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
     act_buf, sample_hist, prev = carry
     B = prev.shape[0]
     R, S, Q, L, A = c.n_resch, c.n_skipch, c.n_quantize, c.n_layers, c.n_aux
+    k = c.kernel_size
     dils = list(c.dilations)
-    caps = [d for d in dils]                     # k=2: cap == dilation
+    caps = [(k - 1) * d for d in dils]
     offsets = np.concatenate([[0], np.cumsum(caps[:-1])]).astype(int)
     offsets = [int(o) for o in offsets]
-    W = 2 * R + 2 * R + S + R
+    W = k * 2 * R + S + R
     resident = weights_resident(c, B)
 
     wpack, auxpack, causal_pack, post1_w, post2_w, biases = _pack_weights(params, c)
@@ -155,7 +158,9 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         jnp.transpose(h_up[:, : T0 + max_n, :], (1, 0, 2)).astype(jnp.float32))
 
     act_buf = act_buf.astype(jnp.bfloat16)
-    prev2 = jnp.stack([sample_hist[:, -1], prev], axis=1).astype(jnp.int32)
+    # ids at lags k-1 .. 0, oldest first
+    prev_init = jnp.concatenate([sample_hist, prev[:, None]],
+                                axis=1).astype(jnp.int32)
     # the samples output is (rows, B): its lane dim must be 128-aligned
     # for the block DMA, so pad the batch lane and slice after
     B_pad = max(128, ((B + 127) // 128) * 128)
@@ -202,15 +207,18 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                           preferred_element_type=jnp.int32)
             return acc.astype(jnp.float32) * sx * wscale_ref[l, lo:hi][None, :]
 
-        def tap_read_dma(l, slot):
+        def tap_read_dma(l, j, slot):
+            # lag j*d tap of layer l lands in tap_buf[l*(k-1) + j-1]
             return pltpu.make_async_copy(
                 actbuf_ref.at[pl.ds(slot, 1)],
-                tap_buf.at[pl.ds(l, 1)],
-                read_sems.at[l])
+                tap_buf.at[pl.ds(l * (k - 1) + (j - 1), 1)],
+                read_sems.at[l * (k - 1) + (j - 1)])
 
         def tap_write_dma(l, slot):
+            # staging reuses the OLDEST tap's buffer (its ring slot is
+            # the write slot: (p - (k-1)d) mod (k-1)d == p mod (k-1)d)
             return pltpu.make_async_copy(
-                tap_buf.at[pl.ds(l, 1)],
+                tap_buf.at[pl.ds(l * (k - 1) + (k - 2), 1)],
                 actbuf_ref.at[pl.ds(slot, 1)],
                 write_sems.at[l])
 
@@ -229,18 +237,25 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                 w_dma(0).start()
 
         h_dma().start()
-        slots = []
+        wslots = []
+        rslots = []
         for l in range(L):
-            slot = offsets[l] + p % caps[l] if caps[l] > 1 else offsets[l]
-            slots.append(slot)
-            tap_read_dma(l, slot).start()
+            cap, off, d = caps[l], offsets[l], dils[l]
+            wslot = off + p % cap if cap > 1 else off
+            wslots.append(wslot)
+            rs = []
+            for j in range(1, k):
+                rslot = off + (p - j * d) % cap if cap > 1 else off
+                rs.append(rslot)
+                tap_read_dma(l, j, rslot).start()
+            rslots.append(rs)
 
-        # input conv as a one-hot matmul: [onehot(old) | onehot(cur)] @ pack
-        ids = prev_buf[:]                         # (B, 2) int32
+        # input conv as one one-hot matmul over all k taps
+        ids = prev_buf[:]                         # (B, k) int32, oldest first
         col = jax.lax.broadcasted_iota(jnp.int32, (B, Q), 1)
-        oh_old = (col == ids[:, 0:1]).astype(jnp.bfloat16)
-        oh_cur = (col == ids[:, 1:2]).astype(jnp.bfloat16)
-        oh = jnp.concatenate([oh_old, oh_cur], axis=1)          # (B, 2Q)
+        oh = jnp.concatenate(
+            [(col == ids[:, m:m + 1]).astype(jnp.bfloat16) for m in range(k)],
+            axis=1)                               # (B, kQ)
         out = jnp.dot(oh, causal_ref[:],
                       preferred_element_type=jnp.float32) + causal_b_ref[:]
         out_buf[:] = out
@@ -259,33 +274,38 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                 if l + 1 < L:
                     w_dma(l + 1).start()
 
-            tap_read_dma(l, slots[l]).wait()
-            tap = tap_buf[l]                      # (B, R) bf16
+            for j in range(1, k):
+                tap_read_dma(l, j, rslots[l][j - 1]).wait()
 
             out_bf = out_buf[:].astype(jnp.bfloat16)
             if quantize:
                 z = qdot(out_buf[:], l, 0, 2 * R)
-                z = z + qdot(tap.astype(jnp.float32), l, 2 * R, 4 * R)
+                for j in range(1, k):
+                    z = z + qdot(
+                        tap_buf[l * (k - 1) + (j - 1)].astype(jnp.float32),
+                        l, j * 2 * R, (j + 1) * 2 * R)
             else:
                 z = jnp.dot(out_bf, w_cols(l, 0, 2 * R),
                             preferred_element_type=jnp.float32)
-                z = z + jnp.dot(tap, w_cols(l, 2 * R, 4 * R),
-                                preferred_element_type=jnp.float32)
+                for j in range(1, k):
+                    z = z + jnp.dot(tap_buf[l * (k - 1) + (j - 1)],
+                                    w_cols(l, j * 2 * R, (j + 1) * 2 * R),
+                                    preferred_element_type=jnp.float32)
             z = z + jnp.dot(hcol, auxpack_ref[l],
                             preferred_element_type=jnp.float32)
             z = z + dil_b_ref[l][None, :]
             gate = jax.nn.sigmoid(z[:, :R]) * jnp.tanh(z[:, R:])
             g = gate.astype(jnp.bfloat16)
 
-            # stage this layer's input into the (now free) tap buffer and
-            # write it back to the same ring slot for future taps
-            tap_buf[l] = out_bf
-            tap_write_dma(l, slots[l]).start()
+            # stage this layer's input into the oldest tap's (now free)
+            # buffer and write it back to its ring slot for future taps
+            tap_buf[l * (k - 1) + (k - 2)] = out_bf
+            tap_write_dma(l, wslots[l]).start()
 
             if quantize:
-                sr = qdot(gate, l, 4 * R, W) + sr_b_ref[l][None, :]
+                sr = qdot(gate, l, k * 2 * R, W) + sr_b_ref[l][None, :]
             else:
-                sr = jnp.dot(g, w_cols(l, 4 * R, W),
+                sr = jnp.dot(g, w_cols(l, k * 2 * R, W),
                              preferred_element_type=jnp.float32) + sr_b_ref[l][None, :]
             skip = skip + sr[:, :S]
             out_buf[:] = sr[:, S:] + out_buf[:]
@@ -325,23 +345,23 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
             samp_dma.start()
             samp_dma.wait()
 
-        prev_buf[:, 0:1] = prev_buf[:, 1:2]
-        prev_buf[:, 1:2] = sample[:, None]
+        pv = prev_buf[:]
+        prev_buf[:] = jnp.concatenate([pv[:, 1:], sample[:, None]], axis=1)
 
         # ensure ring writes land before the next step reads them
         for l in range(L):
-            tap_write_dma(l, slots[l]).wait()
+            tap_write_dma(l, wslots[l]).wait()
 
     total_cap = act_buf.shape[0]
 
     pack_dt = jnp.int8 if quantize else jnp.bfloat16
-    scratch_shapes = [pltpu.VMEM((L, B, R), jnp.bfloat16)]     # tap_buf
+    scratch_shapes = [pltpu.VMEM((L * (k - 1), B, R), jnp.bfloat16)]  # tap_buf
     if not resident:
         scratch_shapes.append(pltpu.VMEM((2, R, W), pack_dt))  # w_buf
     scratch_shapes += [
         pltpu.VMEM((1, B, h_rows), jnp.float32),  # hcol
         pltpu.VMEM((B, R), jnp.float32),          # out_buf
-        pltpu.VMEM((B, 2), jnp.int32),            # prev_buf
+        pltpu.VMEM((B, k), jnp.int32),            # prev_buf
         pltpu.VMEM((8, B_pad), jnp.int32),            # samp_buf
         pltpu.SemaphoreType.DMA((L,)),            # read_sems
         pltpu.SemaphoreType.DMA((L,)),            # write_sems
@@ -355,7 +375,7 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
 
     wpack_spec = (pl.BlockSpec((L, R, W), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM)
-                  if resident else pl.BlockSpec(memory_space=pltpu.ANY))
+                  if resident else pl.BlockSpec(memory_space=pl.ANY))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -365,11 +385,11 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
             wpack_spec,                               # wpack
             pl.BlockSpec((L, W), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),    # wscale
-            pl.BlockSpec(memory_space=pltpu.ANY),     # h_t
-            pl.BlockSpec(memory_space=pltpu.ANY),     # act_buf (aliased)
+            pl.BlockSpec(memory_space=pl.ANY),     # h_t
+            pl.BlockSpec(memory_space=pl.ANY),     # act_buf (aliased)
             pl.BlockSpec((L, aux_rows, 2 * R), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * Q, R), lambda i: (0, 0),
+            pl.BlockSpec((k * Q, R), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((S, Q), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -378,11 +398,11 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
             pl.BlockSpec((1, R), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Q), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=scratch_shapes,
     )
@@ -404,6 +424,6 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         interpret=interpret,
     )(seed, wpack, wscale, h_t, act_buf, auxpack, causal_pack, post1_w,
       post2_w, biases["dil_b"], biases["sr_b"], biases["causal_b"],
-      biases["post1_b"], biases["post2_b"], prev2)
+      biases["post1_b"], biases["post2_b"], prev_init)
 
     return jnp.transpose(samples[:max_n, :B], (1, 0))

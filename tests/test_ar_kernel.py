@@ -36,7 +36,8 @@ def small_cfg(**kw):
 
 def test_supports_matrix():
     assert supports_pallas_ar(small_cfg())
-    assert not supports_pallas_ar(small_cfg(kernel_size=3))
+    assert supports_pallas_ar(small_cfg(kernel_size=3))  # ljspeech configs
+    assert not supports_pallas_ar(small_cfg(kernel_size=4))
     assert not supports_pallas_ar(small_cfg(n_resch=100))
     assert supports_pallas_ar(WaveNetConfig())  # flagship arctic config
 
@@ -121,3 +122,38 @@ def test_pallas_mesh_generate_matches_scan():
                                           "argmax", jax.random.PRNGKey(0),
                                           mesh, interpret=True))
     np.testing.assert_array_equal(ref, out)
+
+
+def test_pallas_kernel3_matches_scan():
+    """kernel_size 3 (the ljspeech operating point): two taps per layer,
+    ring capacity 2d, staging through the oldest tap's slot."""
+    cfg = small_cfg(kernel_size=3, dilation_depth=3, dilation_repeat=2)
+    params = init_wavenet_params(jax.random.PRNGKey(11), cfg)
+    B, n = 4, 20
+    xj, hj = _make(cfg, B, n, seed=5)
+    T0 = xj.shape[1]
+    carry = _warmup_state(params, cfg, xj, hj)
+    ref = np.asarray(_scan_from_state(params, cfg, carry, hj, T0, n,
+                                      "argmax", jax.random.PRNGKey(0)))
+    out = np.asarray(pallas_ar_generate(params, cfg, carry, hj, T0, n,
+                                        "argmax", jax.random.PRNGKey(0),
+                                        interpret=True))
+    np.testing.assert_array_equal(ref, out)
+
+
+def test_pallas_int8_close_to_bf16():
+    """Quantized path stays close (interpret mode; same quantization)."""
+    cfg = small_cfg()
+    params = init_wavenet_params(jax.random.PRNGKey(12), cfg)
+    B, n = 4, 12
+    xj, hj = _make(cfg, B, n, seed=6)
+    T0 = xj.shape[1]
+    carry = _warmup_state(params, cfg, xj, hj)
+    ref = np.asarray(pallas_ar_generate(params, cfg, carry, hj, T0, n,
+                                        "argmax", jax.random.PRNGKey(0),
+                                        interpret=True))
+    out = np.asarray(pallas_ar_generate(params, cfg, carry, hj, T0, n,
+                                        "argmax", jax.random.PRNGKey(0),
+                                        interpret=True, quantize=True))
+    # int8 introduces small logit error; most argmax picks should agree
+    assert (ref == out).mean() > 0.5
