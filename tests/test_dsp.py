@@ -1,7 +1,7 @@
 """DSP unit tests: mel filterbank, cepstrum transforms, F0, MLSA."""
 
 import numpy as np
-import pytest
+
 
 from pytorchwavenetvocoder_tpu.dsp.cepstrum import (
     b2mc,

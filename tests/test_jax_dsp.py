@@ -2,7 +2,7 @@
 
 import numpy as np
 
-import jax
+
 
 from pytorchwavenetvocoder_tpu.dsp import cepstrum as npc
 from pytorchwavenetvocoder_tpu.dsp import mlsa as npm

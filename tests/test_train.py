@@ -8,7 +8,6 @@ import jax.numpy as jnp
 
 from pytorchwavenetvocoder_tpu.models.wavenet import WaveNetConfig
 from pytorchwavenetvocoder_tpu.parallel import (
-    TrainState,
     create_train_state,
     find_latest_checkpoint,
     load_checkpoint,

@@ -1,6 +1,6 @@
 """Utils-layer tests: hdf5 I/O, file listing, prefetch, extend_time, scaler, wav I/O."""
 
-import os
+
 
 import numpy as np
 import pytest
