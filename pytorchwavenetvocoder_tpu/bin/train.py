@@ -61,7 +61,10 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--checkpoint_interval", default=10000, type=int)
     parser.add_argument("--intervals", default=100, type=int)
     parser.add_argument("--seed", default=1, type=int)
-    parser.add_argument("--resume", default=None, nargs="?", type=str)
+    parser.add_argument("--resume", default=None, nargs="?", type=str,
+                        help="checkpoint path to resume from, or 'latest' "
+                             "to auto-resume from the newest checkpoint in "
+                             "--expdir (preemption recovery)")
     parser.add_argument("--n_devices", "--n_gpus", dest="n_devices",
                         default=1, type=int,
                         help="number of devices for data parallelism")
@@ -180,8 +183,15 @@ def main(argv=None) -> None:
     state = create_train_state(jax.random.PRNGKey(args.seed), config,
                                lr=args.lr, weight_decay=args.weight_decay)
     iterations = 0
-    if args.resume is not None and len(args.resume) != 0:
-        state = restore_train_state(args.resume, state)
+    resume = args.resume
+    if resume == "latest":
+        from pytorchwavenetvocoder_tpu.parallel import find_latest_checkpoint
+
+        resume = find_latest_checkpoint(args.expdir)
+        if resume is None:
+            logging.info("no checkpoint in %s; starting fresh.", args.expdir)
+    if resume is not None and len(resume) != 0:
+        state = restore_train_state(resume, state)
         iterations = int(state.step)
         logging.info("restored from %d-iter checkpoint.", iterations)
 

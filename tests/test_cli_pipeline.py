@@ -135,3 +135,29 @@ def test_train_data_parallel_mesh(dataset, tmp_path):
                 "--batch_size", "8", "--iters", "2", "--n_devices", "8",
                 "--compute_dtype", "float32", "--verbose", "0"])
     assert os.path.exists(os.path.join(expdir, "checkpoint-final.pkl"))
+
+
+def test_train_resume_latest(dataset, tmp_path):
+    """--resume latest auto-resumes from the newest checkpoint in expdir
+    (preemption recovery)."""
+    from pytorchwavenetvocoder_tpu.bin import calc_stats, train
+
+    stats = str(dataset / "stats.h5")
+    expdir = str(tmp_path / "exp_latest")
+    calc_stats.main(["--feats", str(dataset / "feats.scp"),
+                     "--stats", stats, "--verbose", "0"])
+    common = ["--waveforms", str(dataset / "wav.scp"),
+              "--feats", str(dataset / "feats.scp"),
+              "--stats", stats, "--expdir", expdir,
+              "--n_resch", "16", "--n_skipch", "16",
+              "--dilation_depth", "3", "--dilation_repeat", "1",
+              "--upsampling_factor", "80", "--batch_length", "800",
+              "--batch_size", "2", "--checkpoint_interval", "2",
+              "--compute_dtype", "float32", "--verbose", "0",
+              "--resume", "latest"]
+    # fresh start (no checkpoint yet)
+    train.main(common + ["--iters", "2"])
+    assert os.path.exists(os.path.join(expdir, "checkpoint-2.pkl"))
+    # auto-resume continues from iter 2 to 4
+    train.main(common + ["--iters", "4"])
+    assert os.path.exists(os.path.join(expdir, "checkpoint-4.pkl"))

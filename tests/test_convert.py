@@ -110,3 +110,52 @@ def test_config_from_torch_conf():
     assert cfg.n_resch == 64 and cfg.upsampling_factor == 80
     conf["use_upsampling_layer"] = False
     assert config_from_torch_conf(conf).upsampling_factor == 0
+
+
+def test_convert_checkpoint_cli_and_decode(tmp_path):
+    """Full migration path: reference torch checkpoint bundle ->
+    convert_checkpoint CLI -> decode CLI produces wavs."""
+    torch, TorchWaveNet = _load_reference_wavenet()
+    import argparse
+
+    from pytorchwavenetvocoder_tpu.bin import convert_checkpoint, decode
+    from pytorchwavenetvocoder_tpu.utils import write_hdf5
+
+    uf, n_aux = 10, 8
+    net = TorchWaveNet(n_quantize=256, n_aux=n_aux, n_resch=16, n_skipch=16,
+                       dilation_depth=3, dilation_repeat=1, kernel_size=2,
+                       upsampling_factor=uf)
+    conf = argparse.Namespace(
+        n_quantize=256, n_aux=n_aux, n_resch=16, n_skipch=16,
+        dilation_depth=3, dilation_repeat=1, kernel_size=2,
+        upsampling_factor=uf, use_upsampling_layer=True,
+        feature_type="world", use_speaker_code=False)
+    refdir = tmp_path / "ref"
+    refdir.mkdir()
+    torch.save({"model": net.state_dict(), "iterations": 123},
+               str(refdir / "checkpoint-123.pkl"))
+    torch.save(conf, str(refdir / "model.conf"))
+
+    outdir = str(tmp_path / "converted")
+    convert_checkpoint.main(["--checkpoint", str(refdir / "checkpoint-123.pkl"),
+                             "--config", str(refdir / "model.conf"),
+                             "--outdir", outdir, "--verbose", "0"])
+    assert os.path.exists(os.path.join(outdir, "checkpoint-123.pkl"))
+    assert os.path.exists(os.path.join(outdir, "model.conf"))
+
+    # stats + feats for decoding
+    stats = str(tmp_path / "stats.h5")
+    write_hdf5(stats, "/world/mean", np.zeros(n_aux, np.float32))
+    write_hdf5(stats, "/world/scale", np.ones(n_aux, np.float32))
+    featdir = tmp_path / "feats"
+    featdir.mkdir()
+    rng = np.random.RandomState(0)
+    write_hdf5(str(featdir / "u0.h5"), "/world",
+               rng.randn(12, n_aux).astype(np.float32))
+    wavout = str(tmp_path / "wav")
+    decode.main(["--feats", str(featdir), "--stats", stats,
+                 "--checkpoint", os.path.join(outdir, "checkpoint-123.pkl"),
+                 "--config", outdir, "--outdir", wavout,
+                 "--batch_size", "1", "--fs", "16000",
+                 "--mode", "argmax", "--verbose", "0"])
+    assert os.listdir(wavout) == ["u0.wav"]
