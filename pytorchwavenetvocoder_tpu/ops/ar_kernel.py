@@ -153,9 +153,11 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
     # 128-aligned on TPU (Mosaic memref_slice tiling constraint)
     h_rows = max(128, ((aux_rows + 127) // 128) * 128)
 
-    h_t = jnp.zeros((T0 + max_n, B, h_rows), jnp.float32)
+    # bf16: the aux projection consumes bf16 anyway, and f32 would cost
+    # T * B * 128 * 4 bytes of HBM for long-utterance fleets
+    h_t = jnp.zeros((T0 + max_n, B, h_rows), jnp.bfloat16)
     h_t = h_t.at[:, :, :A].set(
-        jnp.transpose(h_up[:, : T0 + max_n, :], (1, 0, 2)).astype(jnp.float32))
+        jnp.transpose(h_up[:, : T0 + max_n, :], (1, 0, 2)).astype(jnp.bfloat16))
 
     act_buf = act_buf.astype(jnp.bfloat16)
     # ids at lags k-1 .. 0, oldest first
@@ -261,7 +263,7 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         out_buf[:] = out
 
         h_dma().wait()
-        hcol = hcol_buf[0, :, :aux_rows].astype(jnp.bfloat16)  # (B, aux_rows)
+        hcol = hcol_buf[0, :, :aux_rows]          # (B, aux_rows) bf16
 
         skip = jnp.zeros((B, S), jnp.float32)
 
@@ -359,7 +361,7 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
     if not resident:
         scratch_shapes.append(pltpu.VMEM((2, R, W), pack_dt))  # w_buf
     scratch_shapes += [
-        pltpu.VMEM((1, B, h_rows), jnp.float32),  # hcol
+        pltpu.VMEM((1, B, h_rows), jnp.bfloat16),  # hcol
         pltpu.VMEM((B, R), jnp.float32),          # out_buf
         pltpu.VMEM((B, k), jnp.int32),            # prev_buf
         pltpu.VMEM((8, B_pad), jnp.int32),            # samp_buf
