@@ -217,3 +217,27 @@ def test_filters_run():
     assert y.shape == x.shape
     z = low_pass_filter(np.abs(x), 200, cutoff=20)
     assert z.shape == x.shape
+
+
+def test_mlsa_filter_tv_matches_invariant_for_constant_coefs():
+    """The time-varying MLSA variant with identical per-frame coefs must
+    match the time-invariant filter (up to block-edge IR truncation)."""
+    from pytorchwavenetvocoder_tpu.dsp.mlsa import mlsa_filter_tv
+
+    rng = np.random.RandomState(10)
+    coef = mc2b(np.concatenate([[0.0], 0.2 * rng.randn(25)
+                                * np.exp(-0.2 * np.arange(25))]), 0.41)
+    x = rng.randn(4000)
+    hop = 80
+    coefs = np.tile(coef, (len(x) // hop + 1, 1))
+    y_tv = mlsa_filter_tv(x, coefs, 0.41, hop)
+    y_ti = mlsa_filter(x, coef, 0.41)
+    err = np.abs(y_tv - y_ti).max() / np.abs(y_ti).max()
+    assert err < 1e-3, err
+
+
+def test_stft_mcep_padding_mode():
+    x = np.random.RandomState(11).randn(3000)
+    m = stft_mcep(x, fftl=512, shiftl=256, dim=24, is_padding=True)
+    assert m.shape[1] == 25
+    assert np.isfinite(m).all()
