@@ -20,6 +20,16 @@ Conventions bridged:
 The CLI (bin/convert_checkpoint.py) converts full reference checkpoint
 files; ``test_convert.py`` validates end-to-end forward/generation
 parity against the actual reference implementation when it is present.
+
+IMPORTANT — feature-pipeline compatibility: conversion is numerically
+exact for the NETWORK, but a migrated checkpoint only reproduces the
+reference's audio when fed the reference's OWN feature h5s and stats.h5.
+This repo's stages 1-3 are original estimators (dsp/f0.py, dsp/world.py)
+with matching shapes/columns, not bit-compatible WORLD/Harvest/D4C
+outputs, and noise-shaping restoration here inverts an exact
+minimum-phase filter rather than the reference's Pade MLSA lattice.
+Mixing pipelines shifts the conditioning distribution the torch model
+was trained on.  Run this repo's stage 1-3 only for models trained here.
 """
 
 from __future__ import annotations

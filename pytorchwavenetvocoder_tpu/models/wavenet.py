@@ -538,7 +538,7 @@ def pallas_mesh_generate(params: Params, config: WaveNetConfig, carry, h,
     """Decode fleet over a mesh: each chip runs the fused Pallas kernel
     on its batch shard (shard_map keeps the kernel single-chip; the RNG
     key is decorrelated per shard via the data-axis index)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from pytorchwavenetvocoder_tpu.ops.ar_kernel import pallas_ar_generate

@@ -365,7 +365,10 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         pltpu.VMEM((B, R), jnp.float32),          # out_buf
         pltpu.VMEM((B, k), jnp.int32),            # prev_buf
         pltpu.VMEM((8, B_pad), jnp.int32),            # samp_buf
-        pltpu.SemaphoreType.DMA((L,)),            # read_sems
+        # one semaphore per tap DMA: tap_read_dma indexes read_sems at
+        # l*(k-1)+(j-1), which reaches L*(k-1)-1 for kernel_size 3 —
+        # sizing this (L,) would alias/overflow semaphores on hardware
+        pltpu.SemaphoreType.DMA((L * (k - 1),)),  # read_sems
         pltpu.SemaphoreType.DMA((L,)),            # write_sems
     ]
     if not resident:

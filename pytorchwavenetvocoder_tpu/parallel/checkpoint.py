@@ -68,13 +68,25 @@ def restore_train_state(path: str, state):
 
 
 def find_latest_checkpoint(checkpoint_dir: str) -> str | None:
-    """Return the highest-iteration checkpoint path, if any."""
+    """Return the newest checkpoint path, if any.
+
+    ``checkpoint-final.pkl`` counts as newest when its stored iteration
+    is >= every numbered checkpoint — a completed short run relaunched
+    by a preemption-recovery loop must not restart from scratch.
+    """
     paths = glob.glob(os.path.join(checkpoint_dir, "checkpoint-*.pkl"))
     best, best_it = None, -1
     for p in paths:
         m = re.search(r"checkpoint-(\d+)\.pkl$", p)
         if m and int(m.group(1)) > best_it:
             best, best_it = p, int(m.group(1))
+    final = os.path.join(checkpoint_dir, "checkpoint-final.pkl")
+    if os.path.exists(final):
+        try:
+            if int(load_checkpoint(final)["iterations"]) >= best_it:
+                return final
+        except Exception:
+            pass  # unreadable final checkpoint: fall back to numbered ones
     return best
 
 

@@ -21,6 +21,7 @@ class BackgroundGenerator(threading.Thread):
         super().__init__()
         self.queue: queue.Queue = queue.Queue(max_prefetch)
         self.generator = generator
+        self.exc: BaseException | None = None
         self.daemon = True
         self.start()
 
@@ -28,12 +29,16 @@ class BackgroundGenerator(threading.Thread):
         try:
             for item in self.generator:
                 self.queue.put(item)
+        except BaseException as e:  # surfaced from next(), not lost on the thread
+            self.exc = e
         finally:
             self.queue.put(None)
 
     def next(self):
         next_item = self.queue.get()
         if next_item is None:
+            if self.exc is not None:
+                raise self.exc
             raise StopIteration
         return next_item
 

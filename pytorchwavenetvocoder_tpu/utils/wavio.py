@@ -8,9 +8,10 @@ provides the two consumed surfaces on top of ``scipy.io.wavfile``:
   ``(data, fs)`` with int16 PCM scaled to [-1, 1) when a float dtype is
   requested (reference ``bin/train.py:121``).
 - ``write_wav(path, data, fs, subtype="PCM_16")`` — like
-  ``soundfile.write`` with PCM_16: clips to [-1, 1] and scales float input
-  by 32767 (reference ``bin/decode.py:318-319``); int16 input is written
-  as-is (reference ``bin/noise_shaping.py:87``).
+  ``soundfile.write`` with PCM_16: scales float input by 32768 with
+  clipping to [-32768, 32767] (libsndfile PCM_16 semantics, reference
+  ``bin/decode.py:318-319``); int16 input is written as-is (reference
+  ``bin/noise_shaping.py:87``).
 """
 
 from __future__ import annotations
@@ -38,11 +39,15 @@ def read_wav(path: str, dtype: str = "float32"):
 
 
 def write_wav(path: str, data: np.ndarray, fs: int) -> None:
-    """Write a wav file as 16-bit PCM."""
+    """Write a wav file as 16-bit PCM.
+
+    Float input scales by 32768 (clipped to int16 range), matching
+    libsndfile PCM_16 semantics and making float round-trips through
+    read_wav symmetric.
+    """
     data = np.asarray(data)
     if np.issubdtype(data.dtype, np.floating):
-        data = np.clip(data, -1.0, 1.0)
-        data = (data * 32767.0).astype(np.int16)
+        data = np.clip(np.rint(data * 32768.0), -32768, 32767).astype(np.int16)
     elif data.dtype != np.int16:
         data = data.astype(np.int16)
     wavfile.write(path, fs, data)

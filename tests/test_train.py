@@ -110,6 +110,22 @@ def test_checkpoint_roundtrip(tmp_path):
     assert find_latest_checkpoint(d).endswith("checkpoint-10.pkl")
 
 
+def test_find_latest_sees_final_checkpoint(tmp_path):
+    # a completed short run (iters < checkpoint_interval) only writes
+    # checkpoint-final.pkl; --resume latest must find it, not restart
+    cfg = tiny_cfg()
+    state = create_train_state(jax.random.PRNGKey(0), cfg, lr=1e-3)
+    d = str(tmp_path)
+    save_checkpoint(d, state, iterations=5, final=True)
+    assert find_latest_checkpoint(d).endswith("checkpoint-final.pkl")
+    # a numbered checkpoint newer than final wins
+    save_checkpoint(d, state, iterations=20)
+    assert find_latest_checkpoint(d).endswith("checkpoint-20.pkl")
+    # ...but final wins again once it is the newest
+    save_checkpoint(d, state, iterations=30, final=True)
+    assert find_latest_checkpoint(d).endswith("checkpoint-final.pkl")
+
+
 def test_model_conf_roundtrip(tmp_path):
     cfg = tiny_cfg()
     conf = dict(cfg.to_dict(), lr=1e-4, feature_type="world")

@@ -82,6 +82,20 @@ def test_background_generator_honors_prefetch_depth():
     assert g.queue.maxsize == 7
 
 
+def test_background_generator_propagates_producer_errors():
+    # a pipeline error (corrupt h5, missing wav) must reach the consumer
+    # as the original exception, not a silent StopIteration
+    @background(max_prefetch=2)
+    def gen():
+        yield 1
+        raise ValueError("corrupt h5")
+
+    g = gen()
+    assert next(g) == 1
+    with pytest.raises(ValueError, match="corrupt h5"):
+        next(g)
+
+
 def test_extend_time():
     h = np.arange(6, dtype=np.float32).reshape(3, 2)
     out = extend_time(h, 4)
@@ -128,7 +142,7 @@ def test_wav_roundtrip(tmp_path):
     y, fs = read_wav(path, dtype="float32")
     assert fs == 16000
     assert y.dtype == np.float32
-    np.testing.assert_allclose(x, y, atol=2.0 / 32767)
+    np.testing.assert_allclose(x, y, atol=0.51 / 32768)  # symmetric 32768 scale
 
     y_int, fs = read_wav(path, dtype="int16")
     assert y_int.dtype == np.int16
