@@ -100,6 +100,51 @@ def main():
         times.append(time.time() - t0)
     elapsed = min(times)
 
+    # ---- train throughput at the arctic-sd operating point -------------
+    # (BASELINE.md tracked metric: train utterances/sec/chip; the
+    # reference logs sec/batch at batch_length 20000, batch_size 1)
+    train_detail = {}
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        from pytorchwavenetvocoder_tpu.parallel import (
+            create_train_state,
+            make_train_step,
+        )
+
+        bl = 20000
+        rf = config.receptive_field
+        T = bl + rf
+        state = create_train_state(jax.random.PRNGKey(0), config, lr=1e-4)
+        step_fn = make_train_step(config, lr=1e-4)
+        tb_h = rng.randn(1, T, 28).astype(np.float32)
+
+        def one(seed):
+            bx = rng.randint(0, 256, (1, T)).astype(np.int32)
+            bt = rng.randint(0, 256, (1, T)).astype(np.int32)
+            return step_fn(state, bx, tb_h, bt)
+
+        s2, _ = one(0)  # compile
+        jax.block_until_ready(s2.params)
+        tr_times = []
+        for s in range(3):  # distinct data per run (runtime memoizes)
+            t0 = time.time()
+            s2, loss = one(s)
+            jax.block_until_ready(loss)
+            tr_times.append(time.time() - t0)
+        t_step = min(tr_times)
+        train_detail = {
+            "train_step_seconds": round(t_step, 4),
+            "train_samples_per_sec": round(bl / t_step, 1),
+            "train_batches_per_sec": round(1.0 / t_step, 3),
+            "train_batch_length": bl,
+        }
+        print(json.dumps({
+            "metric": "train_step_seconds",
+            "value": round(t_step, 4),
+            "unit": "s/step(bl=20000)",
+            "vs_baseline": round(0.088 / t_step, 4),  # round-1 measured step
+        }))
+        del state, s2
+
     total_samples = B * n_samples
     sps = total_samples / elapsed
     baseline_target = 1.6e6  # 100x RT at 16 kHz

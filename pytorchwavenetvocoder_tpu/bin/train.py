@@ -195,35 +195,43 @@ def main(argv=None) -> None:
         iterations = int(state.step)
         logging.info("restored from %d-iter checkpoint.", iterations)
 
-    loss_sum = 0.0
-    total = 0.0
+    import jax.numpy as jnp
+
+    # the loss accumulates ON DEVICE and is fetched once per --intervals:
+    # a per-step float(loss) would synchronize every iteration, defeating
+    # XLA async dispatch and making the background prefetch decorative
+    debug_loss = logging.getLogger().isEnabledFor(logging.DEBUG)
+    loss_acc = jnp.zeros((), jnp.float32)
+    interval_start = time.time()
+    n_in_interval = 0
     for i in range(iterations, args.iters):
         if args.profile_dir and i == iterations + 10:
             jax.profiler.start_trace(args.profile_dir)
         if args.profile_dir and i == iterations + 20:
             jax.profiler.stop_trace()
             logging.info("profiler trace written to %s", args.profile_dir)
-        start = time.time()
         (batch_x, batch_h), batch_t = next(generator)
         if mesh is not None:
             batch_x, batch_h, batch_t = shard_batch(
                 mesh, (batch_x, batch_h, batch_t))
         state, loss = step_fn(state, batch_x, batch_h, batch_t)
-        loss_sum += float(loss)  # blocks on the async dispatch
-        total += time.time() - start
-        logging.debug("batch loss = %.3f (%.3f sec / batch)",
-                      float(loss), time.time() - start)
+        loss_acc = loss_acc + loss  # device-side add; no host sync
+        n_in_interval += 1
+        if debug_loss:  # opt-in: forces a sync per step
+            logging.debug("batch loss = %.3f", float(loss))
 
         if (i + 1) % args.intervals == 0:
-            avg = total / args.intervals
+            avg_loss = float(loss_acc) / n_in_interval  # one sync per interval
+            avg = (time.time() - interval_start) / n_in_interval
             remaining = int((args.iters - (i + 1)) * avg)
             logging.info("(iter:%d) average loss = %.6f (%.3f sec / batch)",
-                         i + 1, loss_sum / args.intervals, avg)
+                         i + 1, avg_loss, avg)
             logging.info("estimated required time = %02d:%02d:%02d:%02d",
                          remaining // 86400, (remaining // 3600) % 24,
                          (remaining // 60) % 60, remaining % 60)
-            loss_sum = 0.0
-            total = 0.0
+            loss_acc = jnp.zeros((), jnp.float32)
+            interval_start = time.time()
+            n_in_interval = 0
 
         if (i + 1) % args.checkpoint_interval == 0:
             save_checkpoint(args.expdir, state, iterations=i + 1)

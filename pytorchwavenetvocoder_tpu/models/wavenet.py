@@ -553,7 +553,7 @@ def pallas_mesh_generate(params: Params, config: WaveNetConfig, carry, h,
         in_specs=(P(), (P(None, "data"), P("data"), P("data")),
                   P("data"), P()),
         out_specs=P("data"),
-        check_rep=False,
+        check_vma=False,
     )(params, carry, h, rng)
 
 

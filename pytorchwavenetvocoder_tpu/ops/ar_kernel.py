@@ -41,6 +41,17 @@ from jax.experimental.pallas import tpu as pltpu
 # headroom for Mosaic's stack and the pipeline buffers
 VMEM_BUDGET_BYTES = 112 * 1024 * 1024
 
+# perf-attribution knob for scripts/kernel_probe.py ONLY (never set in
+# production): "mul" replaces the gate transcendentals with a multiply
+# to measure their VPU cost
+import os as _os
+
+_DEBUG_GATE = _os.environ.get("_WN_AR_DEBUG_GATE", "")
+# more perf-attribution knobs (wrong math; probe use only):
+# skip ring-tap reads/matmuls/writes / skip the per-layer aux matmul
+_DEBUG_NOTAP = _os.environ.get("_WN_AR_DEBUG_NOTAP", "") == "1"
+_DEBUG_NOAUX = _os.environ.get("_WN_AR_DEBUG_NOAUX", "") == "1"
+
 
 def supports_pallas_ar(config, backend: str | None = None) -> bool:
     """Whether the fused AR kernel can run this config."""
@@ -249,7 +260,8 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
             for j in range(1, k):
                 rslot = off + (p - j * d) % cap if cap > 1 else off
                 rs.append(rslot)
-                tap_read_dma(l, j, rslot).start()
+                if not _DEBUG_NOTAP:
+                    tap_read_dma(l, j, rslot).start()
             rslots.append(rs)
 
         # input conv as one one-hot matmul over all k taps
@@ -267,42 +279,77 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
 
         skip = jnp.zeros((B, S), jnp.float32)
 
-        # ---- layer chain (serial; splitting the batch into chains with
-        # separate refs was measured NOT to help — Mosaic schedules in
-        # program order, so the chain latency is what it is) -----------
+        def z_indep(l):
+            """Layer l's gate-input terms that do NOT depend on the serial
+            chain: ring taps, aux conditioning, bias."""
+            if _DEBUG_NOTAP:
+                zp = jnp.zeros((B, 2 * R), jnp.float32)
+                if not _DEBUG_NOAUX:
+                    zp = zp + jnp.dot(hcol, auxpack_ref[l],
+                                      preferred_element_type=jnp.float32)
+                return zp + dil_b_ref[l][None, :]
+            for j in range(1, k):
+                tap_read_dma(l, j, rslots[l][j - 1]).wait()
+            if quantize:
+                zp = qdot(tap_buf[l * (k - 1)].astype(jnp.float32),
+                          l, 2 * R, 4 * R)
+                for j in range(2, k):
+                    zp = zp + qdot(
+                        tap_buf[l * (k - 1) + (j - 1)].astype(jnp.float32),
+                        l, j * 2 * R, (j + 1) * 2 * R)
+            else:
+                zp = jnp.dot(tap_buf[l * (k - 1)], w_cols(l, 2 * R, 4 * R),
+                             preferred_element_type=jnp.float32)
+                for j in range(2, k):
+                    zp = zp + jnp.dot(tap_buf[l * (k - 1) + (j - 1)],
+                                      w_cols(l, j * 2 * R, (j + 1) * 2 * R),
+                                      preferred_element_type=jnp.float32)
+            if not _DEBUG_NOAUX:
+                zp = zp + jnp.dot(hcol, auxpack_ref[l],
+                                  preferred_element_type=jnp.float32)
+            return zp + dil_b_ref[l][None, :]
+
+        # ---- layer chain, software-pipelined by one layer -------------
+        # The chain's serial spine is matmul(z) -> gate (VPU) ->
+        # matmul(sr) -> residual add; the MXU idles during each gate.
+        # Issuing layer l+1's INDEPENDENT matmuls (ring tap + aux) before
+        # layer l's gate keeps the MXU queue full while the VPU runs the
+        # transcendentals, overlapping the two units.  (Batch-split
+        # chains were measured NOT to overlap; hoisting independent ops
+        # in program order is what Mosaic's in-order issue rewards.)
+        zp_next = None
         for l in range(L):
             if not resident:
                 w_dma(l).wait()
                 if l + 1 < L:
                     w_dma(l + 1).start()
-
-            for j in range(1, k):
-                tap_read_dma(l, j, rslots[l][j - 1]).wait()
+                # streaming mode: l+1's weights aren't here yet, so no
+                # cross-layer hoist — compute everything in-layer
+                zp_l = z_indep(l)
+            else:
+                zp_l = z_indep(l) if zp_next is None else zp_next
 
             out_bf = out_buf[:].astype(jnp.bfloat16)
             if quantize:
-                z = qdot(out_buf[:], l, 0, 2 * R)
-                for j in range(1, k):
-                    z = z + qdot(
-                        tap_buf[l * (k - 1) + (j - 1)].astype(jnp.float32),
-                        l, j * 2 * R, (j + 1) * 2 * R)
+                z = qdot(out_buf[:], l, 0, 2 * R) + zp_l
             else:
                 z = jnp.dot(out_bf, w_cols(l, 0, 2 * R),
-                            preferred_element_type=jnp.float32)
-                for j in range(1, k):
-                    z = z + jnp.dot(tap_buf[l * (k - 1) + (j - 1)],
-                                    w_cols(l, j * 2 * R, (j + 1) * 2 * R),
-                                    preferred_element_type=jnp.float32)
-            z = z + jnp.dot(hcol, auxpack_ref[l],
-                            preferred_element_type=jnp.float32)
-            z = z + dil_b_ref[l][None, :]
-            gate = jax.nn.sigmoid(z[:, :R]) * jnp.tanh(z[:, R:])
+                            preferred_element_type=jnp.float32) + zp_l
+
+            if resident and l + 1 < L:
+                zp_next = z_indep(l + 1)  # MXU work issued before the VPU gate
+
+            if _DEBUG_GATE == "mul":      # perf probe only: wrong math
+                gate = z[:, :R] * z[:, R:]
+            else:
+                gate = jax.nn.sigmoid(z[:, :R]) * jnp.tanh(z[:, R:])
             g = gate.astype(jnp.bfloat16)
 
             # stage this layer's input into the oldest tap's (now free)
             # buffer and write it back to its ring slot for future taps
-            tap_buf[l * (k - 1) + (k - 2)] = out_bf
-            tap_write_dma(l, wslots[l]).start()
+            if not _DEBUG_NOTAP:
+                tap_buf[l * (k - 1) + (k - 2)] = out_bf
+                tap_write_dma(l, wslots[l]).start()
 
             if quantize:
                 sr = qdot(gate, l, k * 2 * R, W) + sr_b_ref[l][None, :]
@@ -351,8 +398,9 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         prev_buf[:] = jnp.concatenate([pv[:, 1:], sample[:, None]], axis=1)
 
         # ensure ring writes land before the next step reads them
-        for l in range(L):
-            tap_write_dma(l, wslots[l]).wait()
+        if not _DEBUG_NOTAP:
+            for l in range(L):
+                tap_write_dma(l, wslots[l]).wait()
 
     total_cap = act_buf.shape[0]
 

@@ -1,0 +1,159 @@
+"""End-to-end cross-framework fidelity on REAL training.
+
+The random-weight parity tests (test_convert.py) prove the network math
+matches; this test proves the full migration story: the ACTUAL reference
+implementation (torch, imported read-only from /root/reference) is
+trained on a synthetic corpus, its checkpoint is converted, and this
+framework's decoder must vocode the held-out conditioning to the same
+audio quality (MCD) as the torch decoder — both well below the
+unconditional noise floor.
+
+Mirrors the reference training loop semantics
+(`/root/reference/wavenet_vocoder/bin/train.py:527-539`: Adam + CE over
+positions >= receptive_field) at toy scale on CPU.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from pytorchwavenetvocoder_tpu.convert import params_from_torch_state_dict
+from pytorchwavenetvocoder_tpu.eval.mcd import compute_mcd
+from pytorchwavenetvocoder_tpu.models.wavenet import (
+    WaveNetConfig,
+    batch_fast_generate,
+)
+from pytorchwavenetvocoder_tpu.ops.mulaw import decode_mu_law, encode_mu_law
+
+REFERENCE = "/root/reference"
+FS = 16000
+
+
+def _load_reference_wavenet():
+    torch = pytest.importorskip("torch")
+    if not os.path.isdir(os.path.join(REFERENCE, "wavenet_vocoder")):
+        pytest.skip("reference implementation not available")
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    from wavenet_vocoder.nets import WaveNet as TorchWaveNet
+
+    return torch, TorchWaveNet
+
+
+def _make_corpus(n_aux, T, seed=0):
+    """Aux-determined waveform: a tone whose pitch tracks the aux features.
+
+    The aux stream is a slowly-varying pitch control; the waveform is a
+    deterministic function of it, so a model that learns p(x_t | aux, past)
+    can vocode unseen aux back into the right spectrum.
+    """
+    rng = np.random.RandomState(seed)
+    # piecewise-constant pitch states every 400 samples
+    n_seg = T // 400 + 1
+    states = rng.randint(0, 3, n_seg)
+    f0s = np.array([120.0, 180.0, 260.0])
+    f = np.repeat(f0s[states], 400)[:T]
+    phase = np.cumsum(2 * np.pi * f / FS)
+    wav = (0.5 * np.sin(phase) + 0.2 * np.sin(2 * phase)).astype(np.float64)
+    # aux: pitch one-hot (smoothed) + normalized f, at sample rate
+    aux = np.zeros((T, n_aux), np.float32)
+    seg_id = np.repeat(states, 400)[:T]
+    for k in range(3):
+        aux[:, k] = (seg_id == k).astype(np.float32)
+    aux[:, 3] = (f / 200.0 - 1.0).astype(np.float32)
+    return wav, aux
+
+
+def test_real_training_fidelity():
+    torch, TorchWaveNet = _load_reference_wavenet()
+    import jax
+
+    import pytorchwavenetvocoder_tpu.parallel as par
+
+    n_aux = 4
+    cfg = WaveNetConfig(n_quantize=256, n_aux=n_aux, n_resch=32, n_skipch=32,
+                        dilation_depth=6, dilation_repeat=1, kernel_size=2,
+                        upsampling_factor=0, compute_dtype="float32")
+    rf = cfg.receptive_field  # 64
+
+    T_train = 8000
+    wav, aux = _make_corpus(n_aux, T_train + 1, seed=0)
+    ids = encode_mu_law(wav, 256)
+
+    # ---- train the ACTUAL reference implementation -----------------------
+    torch.manual_seed(0)
+    tnet = TorchWaveNet(n_quantize=256, n_aux=n_aux, n_resch=32, n_skipch=32,
+                        dilation_depth=6, dilation_repeat=1, kernel_size=2,
+                        upsampling_factor=0)
+    tnet.apply(lambda m: None)
+    opt = torch.optim.Adam(tnet.parameters(), lr=3e-3)
+    lossfn = torch.nn.CrossEntropyLoss()
+    bl = 1100
+    rng = np.random.RandomState(7)
+    n_iters = 400
+    starts = rng.randint(0, T_train - bl - 1, n_iters)
+    torch_losses = []
+    for it in range(n_iters):
+        s = starts[it]
+        bx = torch.from_numpy(ids[s: s + bl][None].astype(np.int64))
+        bh = torch.from_numpy(aux[s + 1: s + bl + 1].T[None])
+        bt = torch.from_numpy(ids[s + 1: s + bl + 1][None].astype(np.int64))
+        logits = tnet(bx, bh)  # (1, T, Q)
+        loss = lossfn(logits[:, rf:].reshape(-1, 256), bt[:, rf:].reshape(-1))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss.detach()))
+    torch_final_loss = float(np.mean(torch_losses[-50:]))
+
+    # ---- train THIS framework on the same batches ------------------------
+    state = par.create_train_state(jax.random.PRNGKey(0), cfg, lr=3e-3)
+    step = par.make_train_step(cfg, lr=3e-3, donate=False)
+    jax_losses = []
+    for it in range(n_iters):
+        s = starts[it]
+        bx = ids[s: s + bl][None].astype(np.int32)
+        bh = aux[s + 1: s + bl + 1][None]
+        bt = ids[s + 1: s + bl + 1][None].astype(np.int32)
+        state, jl = step(state, bx, bh, bt)
+        jax_losses.append(float(jl))
+    jax_final_loss = float(np.mean(jax_losses[-50:]))
+
+    # both frameworks should learn the corpus comparably (inits differ, so
+    # compare smoothed recent loss, not a single noisy final batch)
+    assert torch_final_loss < 0.8, torch_final_loss
+    assert jax_final_loss < 0.8, jax_final_loss
+    assert abs(torch_final_loss - jax_final_loss) < 0.5, (
+        torch_final_loss, jax_final_loss)
+
+    # ---- decode held-out conditioning through both stacks ----------------
+    n_gen = 3000
+    wav_hold, aux_hold = _make_corpus(n_aux, rf + n_gen + 1, seed=99)
+    seed_ids = np.full((1, rf), 128, np.int64)
+
+    with torch.no_grad():
+        tgen = tnet.generate(torch.from_numpy(seed_ids),
+                             torch.from_numpy(aux_hold[:rf + n_gen].T[None]),
+                             n_gen, intervals=None, mode="sampling")
+    wav_torch = decode_mu_law(np.asarray(tgen, np.int32), 256)
+
+    # converted torch checkpoint through THIS framework's scan decoder
+    conv_params = params_from_torch_state_dict(tnet.state_dict(), cfg)
+    ours = batch_fast_generate(conv_params, cfg, seed_ids.astype(np.int32),
+                               aux_hold[None, :rf + n_gen], [n_gen],
+                               mode="sampling", rng=jax.random.PRNGKey(5))
+    wav_ours = decode_mu_law(ours[0], 256)
+
+    target = wav_hold[rf + 1: rf + 1 + n_gen]
+    mcd_torch = compute_mcd(target, wav_torch, FS)
+    mcd_ours = compute_mcd(target, wav_ours, FS)
+    noise = np.random.RandomState(3).uniform(-0.5, 0.5, n_gen)
+    mcd_noise = compute_mcd(target, noise, FS)
+
+    # both must clearly beat the noise floor, and the converted model must
+    # match the torch decode's quality
+    assert mcd_torch < mcd_noise - 1.5, (mcd_torch, mcd_noise)
+    assert mcd_ours < mcd_noise - 1.5, (mcd_ours, mcd_noise)
+    assert abs(mcd_ours - mcd_torch) < 1.5, (mcd_ours, mcd_torch)
