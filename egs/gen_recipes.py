@@ -39,10 +39,19 @@ export cuda_cmd="run.py --gpu 1"
 # export cuda_cmd="slurm.py --gpu 1 --config conf/slurm.conf"
 """
 
-SLURM_CONF = """# mapping from generic runner flags to srun flags (slurm.py --config)
-# option gpu=* --gres=gpu:$0
-# option mem=* --mem=$0
-# option num_threads=* --cpus-per-task=$0
+SLURM_CONF = """# slurm.py option-translation config (slurm.pl format):
+# 'command' is the submission command; 'option key=* <template>' maps
+# --key <val> with $0 substituted; exact-value lines override; 'default'
+# applies when the flag wasn't passed.
+command sbatch --export=PATH --ntasks-per-node=1
+option time=* --time $0
+option mem=* --mem-per-cpu $0
+option mem=0
+option num_threads=* --cpus-per-task $0 --ntasks-per-node=1
+option num_threads=1 --cpus-per-task 1 --ntasks-per-node=1
+default gpu=0
+option gpu=0
+option gpu=* --gres=gpu:$0 --time 10-00:00:00
 """
 
 

@@ -104,28 +104,130 @@ void wndsp_sp2mc(const double* power_spec, int n_half1, int order,
   wndsp_freqt(cep.data(), n_half1, order, alpha, mc);
 }
 
-// mcep of a windowed frame (periodogram + sp2mc) -----------------------
+// ---------------------------------------------------------------------
+// UELS Newton refinement (SPTK mcep's iteration; matches
+// dsp/cepstrum.py uels_refine).  power_spec is the one-sided floored
+// periodogram; c (order+1) is updated in place.
+// ---------------------------------------------------------------------
+void wndsp_uels_refine(double* c, int order, const double* power_spec,
+                       int n_half1, double alpha, int n_iter,
+                       double threshold) {
+  const int n_fft = (n_half1 - 1) * 2;
+  // log spectrum resampled onto the warped axis: full freqt of the
+  // cepstrum of log(power)/2, then cosine reconstruction
+  std::vector<cplx> buf(n_fft);
+  for (int i = 0; i < n_half1; ++i)
+    buf[i] = cplx(0.5 * std::log(power_spec[i]), 0.0);
+  for (int i = n_half1; i < n_fft; ++i) buf[i] = buf[n_fft - i];
+  fft_inplace(buf, true);
+  std::vector<double> cep(n_half1);
+  cep[0] = buf[0].real();
+  for (int i = 1; i < n_half1 - 1; ++i) cep[i] = 2.0 * buf[i].real();
+  cep[n_half1 - 1] = buf[n_half1 - 1].real();
+  std::vector<double> cw(n_half1);
+  wndsp_freqt(cep.data(), n_half1, n_fft / 2, alpha, cw.data());
+  for (auto& b : buf) b = cplx(0.0, 0.0);
+  buf[0] = cplx(cw[0], 0.0);
+  for (int i = 1; i < n_half1 - 1; ++i) {
+    buf[i] = cplx(0.5 * cw[i], 0.0);
+    buf[n_fft - i] = buf[i];
+  }
+  buf[n_half1 - 1] = cplx(cw[n_half1 - 1], 0.0);
+  fft_inplace(buf, false);
+  std::vector<double> log_sw(n_fft);
+  for (int i = 0; i < n_fft; ++i) log_sw[i] = 2.0 * buf[i].real();
+
+  const int m2 = 2 * order + 1;
+  std::vector<double> r(m2), grad(order), H((size_t)order * order);
+  for (int it = 0; it < n_iter; ++it) {
+    // log|H| = c0 + sum c_m cos(m lam) (halved-interior mirrored FFT)
+    for (auto& b : buf) b = cplx(0.0, 0.0);
+    buf[0] = cplx(c[0], 0.0);
+    for (int m = 1; m <= order; ++m) {
+      buf[m] = cplx(0.5 * c[m], 0.0);
+      buf[n_fft - m] = buf[m];
+    }
+    fft_inplace(buf, false);
+    for (int i = 0; i < n_fft; ++i)
+      buf[i] = cplx(std::exp(log_sw[i] - 2.0 * buf[i].real()), 0.0);
+    fft_inplace(buf, true);  // Fourier coefficients of the residual E
+    for (int m = 0; m < m2; ++m) r[m] = buf[m].real();
+    // analytic gain step keeps the undamped Newton stable
+    c[0] += 0.5 * std::log(r[0]);
+    for (int m = m2 - 1; m >= 0; --m) r[m] /= r[0];
+    double gmax = 0.0;
+    for (int m = 1; m <= order; ++m) {
+      grad[m - 1] = r[m];
+      gmax = std::max(gmax, std::fabs(r[m]));
+    }
+    if (gmax < threshold) break;
+    // (Toeplitz + Hankel) delta = grad, m,n in 1..order
+    for (int m = 1; m <= order; ++m)
+      for (int n2 = 1; n2 <= order; ++n2)
+        H[(size_t)(m - 1) * order + (n2 - 1)] =
+            r[std::abs(m - n2)] + r[m + n2];
+    // Gaussian elimination with partial pivoting
+    std::vector<double> A(H);
+    std::vector<double> b2(grad);
+    bool singular = false;
+    for (int col = 0; col < order && !singular; ++col) {
+      int piv = col;
+      for (int row = col + 1; row < order; ++row)
+        if (std::fabs(A[(size_t)row * order + col]) >
+            std::fabs(A[(size_t)piv * order + col]))
+          piv = row;
+      if (std::fabs(A[(size_t)piv * order + col]) < 1e-300) {
+        singular = true;
+        break;
+      }
+      if (piv != col) {
+        for (int j = 0; j < order; ++j)
+          std::swap(A[(size_t)col * order + j], A[(size_t)piv * order + j]);
+        std::swap(b2[col], b2[piv]);
+      }
+      for (int row = col + 1; row < order; ++row) {
+        const double f = A[(size_t)row * order + col] / A[(size_t)col * order + col];
+        for (int j = col; j < order; ++j)
+          A[(size_t)row * order + j] -= f * A[(size_t)col * order + j];
+        b2[row] -= f * b2[col];
+      }
+    }
+    if (singular) break;
+    for (int row = order - 1; row >= 0; --row) {
+      double s = b2[row];
+      for (int j = row + 1; j < order; ++j)
+        s -= A[(size_t)row * order + j] * b2[j];
+      b2[row] = s / A[(size_t)row * order + row];
+    }
+    for (int m = 1; m <= order; ++m) c[m] += b2[m - 1];
+  }
+}
+
+// mcep of a windowed frame (periodogram + sp2mc [+ UELS Newton]) -------
 void wndsp_mcep_frame(const double* frame, int n, int n_fft, int order,
-                      double alpha, double eps, double* mc) {
+                      double alpha, double eps, int refine, double* mc) {
   std::vector<cplx> buf(n_fft, cplx(0.0, 0.0));
   for (int i = 0; i < n && i < n_fft; ++i) buf[i] = cplx(frame[i], 0.0);
   fft_inplace(buf, false);
   const int n_half1 = n_fft / 2 + 1;
   std::vector<double> ps(n_half1);
-  for (int i = 0; i < n_half1; ++i) ps[i] = std::norm(buf[i]);
+  for (int i = 0; i < n_half1; ++i)
+    ps[i] = std::max(std::norm(buf[i]), eps);
   wndsp_sp2mc(ps.data(), n_half1, order, alpha, eps, mc);
+  if (refine)
+    wndsp_uels_refine(mc, order, ps.data(), n_half1, alpha, 30, 1e-8);
 }
 
 // framewise stft mcep over a signal (hop/window provided) --------------
 void wndsp_stft_mcep(const double* x, int n, const double* window, int fftl,
                      int shiftl, int order, double alpha, double eps,
-                     double* out /* (n_frames, order+1) */) {
+                     int refine, double* out /* (n_frames, order+1) */) {
   const int n_frames = (n - fftl) / shiftl + 1;
   std::vector<double> frame(fftl);
   for (int t = 0; t < n_frames; ++t) {
     const double* seg = x + (size_t)t * shiftl;
     for (int i = 0; i < fftl; ++i) frame[i] = seg[i] * window[i];
-    wndsp_mcep_frame(frame.data(), fftl, fftl, order, alpha, eps,
+    wndsp_mcep_frame(frame.data(), fftl, fftl, order, alpha, eps, refine,
                      out + (size_t)t * (order + 1));
   }
 }
@@ -204,6 +306,6 @@ void wndsp_decode_mu_law(const int32_t* y, int n, int mu, double* x) {
   }
 }
 
-int wndsp_version(void) { return 1; }
+int wndsp_version(void) { return 2; }
 
 }  // extern "C"

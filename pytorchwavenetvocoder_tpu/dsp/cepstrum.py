@@ -4,13 +4,21 @@ Provides equivalents of the pysptk functions the reference calls:
 ``mcep`` (`feature_extract.py:144`), ``mc2b`` (`noise_shaping.py:41`) and
 the ``sp2mc`` path used by sprocket for WORLD envelopes.
 
-The mel-cepstrum here is computed by the classic two-step construction —
-real cepstrum of the (floored) log spectrum, then the Oppenheim
-frequency-warping recursion (``freqt``) to the all-pass-warped axis.
-SPTK's ``mcep`` additionally runs Newton refinement on the UELS
-criterion; the warped-cepstrum solution is its standard initialization
-and is spectrally close (adequate for conditioning features and for the
-averaged-mcep noise-shaping filter, which is what the framework needs).
+The mel-cepstrum is computed as in SPTK's mcep (Fukada & Tokuda's
+mel-cepstral analysis): the warped-cepstrum solution (real cepstrum of
+the floored log spectrum + Oppenheim ``freqt`` recursion) initializes a
+Newton iteration on the UELS criterion
+
+    eps(c) = (1/2pi) \\int [ e^{R(l)} - R(l) - 1 ] dl,
+    R(l) = log Stilde(l) - 2 sum_m c_m cos(m l)
+
+evaluated on the uniformly-sampled WARPED frequency axis l (Stilde is
+the periodogram resampled onto that axis, obtained by running the full
+cepstrum through freqt).  At the optimum the residual spectrum
+E = e^{R} satisfies r_0 = 1 and r_m = 0 (m = 1..order), where r_m are
+E's Fourier coefficients — the optimality condition the tests assert.
+Refinement is on by default, matching ``pysptk.mcep`` semantics
+(reference `feature_extract.py:144`).
 """
 
 from __future__ import annotations
@@ -91,15 +99,86 @@ def mc2sp(mc: np.ndarray, alpha: float, n_fft: int) -> np.ndarray:
     return np.exp(2.0 * log_spec)
 
 
+def _warped_log_spec(power_spec: np.ndarray, alpha: float) -> np.ndarray:
+    """Resample log(power)/1 onto the uniformly-sampled warped axis.
+
+    Warping the frequency axis of a log spectrum is exactly ``freqt`` on
+    its full (untruncated) Fourier-coefficient sequence.
+    Returns the one-sided warped log power spectrum (n_fft//2+1,).
+    """
+    n_fft = (len(power_spec) - 1) * 2
+    log_spec = 0.5 * np.log(power_spec)
+    cep = _log_spec_to_cepstrum(log_spec, n_fft)
+    cep[1:-1] *= 2.0
+    cw = freqt(cep, n_fft // 2, alpha)
+    cw[1:-1] *= 0.5
+    full = np.zeros(n_fft)
+    full[: n_fft // 2 + 1] = cw
+    full[n_fft // 2 + 1:] = cw[1: n_fft // 2][::-1]
+    return 2.0 * np.fft.rfft(full).real  # log power on the warped axis
+
+
+def uels_refine(c: np.ndarray, power_spec: np.ndarray, alpha: float,
+                n_iter: int = 30, threshold: float = 1e-8) -> np.ndarray:
+    """Newton iterations of mel-cepstral analysis (SPTK mcep's loop).
+
+    c: initial warped cepstrum (order+1,), power_spec: one-sided
+    periodogram (n_fft//2+1,).  Returns the UELS-optimal coefficients.
+    """
+    order = len(c) - 1
+    n_fft = (len(power_spec) - 1) * 2
+    log_sw = _warped_log_spec(power_spec, alpha)       # (n_fft//2+1,)
+    c = np.asarray(c, np.float64).copy()
+    idx = np.arange(1, order + 1)
+    for _ in range(n_iter):
+        # model log amplitude on the warped grid:
+        # log|H| = c_0 + sum_m c_m cos(m lam); the mel-cepstrum uses the
+        # doubled-interior convention, so the mirrored FFT input halves
+        # the interior terms
+        cz = np.zeros(n_fft)
+        cz[0] = c[0]
+        cz[1: order + 1] = 0.5 * c[1:]
+        cz[n_fft - order: n_fft] = 0.5 * c[1:][::-1]
+        logh = np.fft.rfft(cz).real                    # (n_fft//2+1,)
+        r_spec = np.exp(log_sw - 2.0 * logh)           # residual E(lam)
+        # Fourier coefficients of E (real, even) up to lag 2*order
+        r = np.fft.irfft(r_spec, n=n_fft)[: 2 * order + 1]
+        # gain-normalize analytically each iteration (c0 <- c0 +
+        # log(r0)/2 makes r0 = 1 exactly); Newton runs on c1..cM only —
+        # without this the undamped step overshoots and diverges
+        c[0] += 0.5 * np.log(r[0])
+        r = r / r[0]
+        grad = r[1: order + 1]
+        if np.max(np.abs(grad)) < threshold:
+            break
+        # Newton: (Toeplitz(r) + Hankel(r)) delta = grad on m,n >= 1
+        H = (r[np.abs(idx[:, None] - idx[None, :])]
+             + r[idx[:, None] + idx[None, :]])
+        try:
+            delta = np.linalg.solve(H, grad)
+        except np.linalg.LinAlgError:
+            break
+        c[1:] += delta
+    return c
+
+
 def mcep(frame: np.ndarray, order: int = 24, alpha: float = 0.41,
-         eps: float = EPS, n_fft: int | None = None) -> np.ndarray:
+         eps: float = EPS, n_fft: int | None = None,
+         refine: bool = True) -> np.ndarray:
     """Mel-cepstrum of a windowed waveform frame (pysptk.mcep surface,
-    etype=1 semantics: periodogram floored at ``eps``)."""
+    etype=1 semantics: periodogram floored at ``eps``).
+
+    ``refine=True`` (default) runs the UELS Newton iterations like SPTK;
+    ``refine=False`` returns the warped-cepstrum initialization only.
+    """
     frame = np.asarray(frame, np.float64)
     if n_fft is None:
         n_fft = len(frame)
-    spec = np.abs(np.fft.rfft(frame, n=n_fft)) ** 2
-    return sp2mc(np.maximum(spec, eps), order, alpha)
+    spec = np.maximum(np.abs(np.fft.rfft(frame, n=n_fft)) ** 2, eps)
+    c = sp2mc(spec, order, alpha)
+    if refine:
+        c = uels_refine(c, spec, alpha)
+    return c
 
 
 def stft_mcep(x: np.ndarray, fftl: int = 512, shiftl: int = 256,

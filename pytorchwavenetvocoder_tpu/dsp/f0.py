@@ -49,10 +49,12 @@ def extract_f0(x: np.ndarray, fs: int, minf0: float = 40.0,
     """Frame-rate F0 track in Hz; 0 marks unvoiced frames.
 
     Method: per frame, normalized autocorrelation (NAC) over the lag range
-    [fs/maxf0, fs/minf0]; the NAC peak with parabolic interpolation gives
-    the period; voicing = NAC peak above threshold AND frame energy above
-    a relative floor; 3-tap median smoothing plus octave-error correction
-    against the frame-median F0.
+    [fs/maxf0, fs/minf0]; the top-K NAC local maxima (parabolic-refined)
+    become period candidates; a Viterbi pass over {unvoiced} + candidates
+    picks the contour maximizing NAC emission minus octave-continuity and
+    voicing-switch penalties.  Harvest-style contour tracking without the
+    WORLD dependency; voicing = the Viterbi path (unvoiced emission =
+    ``voicing_threshold``) with an energy floor gate.
     """
     x = np.asarray(x, np.float64)
     x = x - np.mean(x)
@@ -80,40 +82,62 @@ def extract_f0(x: np.ndarray, fs: int, minf0: float = 40.0,
     nac = ac / energy[:, None] / norm[None, :]
     nac[:, :min_lag] = -1.0
 
-    peak_lag = np.argmax(nac[:, : max_lag + 1], axis=1)
-    peak_val = nac[np.arange(n_frames), peak_lag]
+    # ---- candidate peaks (top-K local NAC maxima, parabolic-refined) ----
+    K = 4
+    is_peak = np.zeros_like(nac, bool)
+    is_peak[:, 1:-1] = (nac[:, 1:-1] >= nac[:, :-2]) & (nac[:, 1:-1] >= nac[:, 2:])
+    masked = np.where(is_peak, nac, -np.inf)
+    cand_lag = np.argsort(masked, axis=1)[:, -K:]            # (T, K)
+    rows = np.arange(n_frames)[:, None]
+    cand_val = masked[rows, cand_lag]                        # -inf = absent
 
-    # parabolic interpolation around the integer peak
-    l0 = np.clip(peak_lag, min_lag + 1, max_lag - 1)
-    y_m = nac[np.arange(n_frames), l0 - 1]
-    y_0 = nac[np.arange(n_frames), l0]
-    y_p = nac[np.arange(n_frames), l0 + 1]
+    l0 = np.clip(cand_lag, min_lag + 1, max_lag - 1)
+    y_m, y_0, y_p = nac[rows, l0 - 1], nac[rows, l0], nac[rows, l0 + 1]
     denom = y_m - 2 * y_0 + y_p
-    safe_denom = np.where(np.abs(denom) > 1e-12, denom, 1.0)
-    delta = np.where(np.abs(denom) > 1e-12, 0.5 * (y_m - y_p) / safe_denom, 0.0)
+    safe = np.where(np.abs(denom) > 1e-12, denom, 1.0)
+    delta = np.where(np.abs(denom) > 1e-12, 0.5 * (y_m - y_p) / safe, 0.0)
     delta = np.clip(delta, -0.5, 0.5)
-    lag_ref = np.where(peak_lag == l0, l0 + delta, peak_lag).astype(np.float64)
+    lag_ref = np.where(cand_lag == l0, l0 + delta, cand_lag).astype(np.float64)
+    cand_f0 = fs / np.maximum(lag_ref, 1.0)                  # (T, K)
 
-    f0 = fs / np.maximum(lag_ref, 1.0)
-    # voicing decision: correlation + energy gates
+    in_range = (cand_f0 >= minf0) & (cand_f0 <= maxf0)
     energy_floor = 1e-4 * np.max(energy)
-    voiced = (peak_val > voicing_threshold) & (energy > energy_floor)
-    f0 = np.where(voiced & (f0 >= minf0) & (f0 <= maxf0), f0, 0.0)
+    frame_ok = energy > energy_floor
+    cand_ok = in_range & np.isfinite(cand_val) & frame_ok[:, None]
+    cand_val = np.where(cand_ok, cand_val, -np.inf)
 
-    # median smoothing (3-tap) over voiced runs to kill single-frame spikes
-    f0_s = f0.copy()
-    for t in range(1, n_frames - 1):
-        window = f0[t - 1: t + 2]
-        if np.all(window > 0):
-            f0_s[t] = np.median(window)
-    # halving/doubling correction vs the voiced median
-    voiced_vals = f0_s[f0_s > 0]
-    if voiced_vals.size:
-        med = np.median(voiced_vals)
-        for t in range(n_frames):
-            if f0_s[t] > 0:
-                if f0_s[t] > 1.8 * med and f0_s[t] / 2 >= minf0:
-                    f0_s[t] /= 2.0
-                elif f0_s[t] < 0.55 * med and f0_s[t] * 2 <= maxf0:
-                    f0_s[t] *= 2.0
-    return f0_s
+    # ---- Viterbi over {unvoiced} + K candidates per frame --------------
+    # Emission: NAC value with a small RAPT-style lag bias (favoring the
+    # shortest period among near-equal peaks kills subharmonic lock-in);
+    # unvoiced emits ``voicing_threshold``.  Transition: octave-distance
+    # penalty between voiced states, a fixed toll for voicing changes.
+    # This replaces global-median octave "correction", which cannot
+    # represent legitimate octave jumps in the contour.
+    LAM = 0.35       # per-octave continuity penalty
+    TOLL = 0.12      # voiced <-> unvoiced switch penalty
+    LAG_BIAS = 0.01  # per-octave-of-lag emission bias toward short lags
+    n_states = K + 1  # state 0 = unvoiced
+    em = np.full((n_frames, n_states), -np.inf)
+    em[:, 0] = voicing_threshold
+    em[:, 1:] = cand_val - LAG_BIAS * np.log2(
+        np.maximum(lag_ref, min_lag) / min_lag)
+    logf = np.where(cand_val > -np.inf, np.log2(np.maximum(cand_f0, 1e-6)), 0.0)
+
+    score = em[0].copy()
+    back = np.zeros((n_frames, n_states), np.int8)
+    for t in range(1, n_frames):
+        trans = np.zeros((n_states, n_states))
+        trans[0, 1:] = trans[1:, 0] = TOLL
+        df = np.abs(logf[t - 1][:, None] - logf[t][None, :])
+        trans[1:, 1:] = LAM * df
+        total = score[:, None] - trans
+        back[t] = np.argmax(total, axis=0)
+        score = total[back[t], np.arange(n_states)] + em[t]
+
+    f0 = np.zeros(n_frames)
+    s = int(np.argmax(score))
+    for t in range(n_frames - 1, -1, -1):
+        if s > 0:
+            f0[t] = cand_f0[t, s - 1]
+        s = int(back[t, s])
+    return f0

@@ -117,19 +117,70 @@ def sp2mc_jax(power_spec: jnp.ndarray, order: int, alpha: float,
     return freqt_jax(cep, order, alpha)
 
 
-@partial(jax.jit, static_argnames=("fftl", "shiftl", "dim"))
+@partial(jax.jit, static_argnames=("order", "n_iter"))
+def uels_refine_jax(c: jnp.ndarray, power_spec: jnp.ndarray, alpha: float,
+                    order: int, n_iter: int = 15) -> jnp.ndarray:
+    """Batched UELS Newton refinement (parity with
+    dsp.cepstrum.uels_refine, fixed iteration count for jit):
+    c (..., order+1), power_spec (..., n_fft//2+1)."""
+    ps = jnp.asarray(power_spec)
+    c = jnp.asarray(c, ps.dtype)
+    n_half1 = ps.shape[-1]
+    n_fft = (n_half1 - 1) * 2
+
+    # warped log spectrum: full freqt of the log-power cepstrum
+    log_spec = 0.5 * jnp.log(ps)
+    cep = jnp.fft.irfft(log_spec, n=n_fft, axis=-1)[..., : n_half1]
+    doubler = jnp.ones(n_half1, ps.dtype).at[1:-1].set(2.0)
+    cw = freqt_jax(cep * doubler, n_fft // 2, alpha)
+    halver = jnp.ones(n_half1, ps.dtype).at[1:-1].set(0.5)
+    log_sw = 2.0 * jnp.fft.rfft(
+        _mirror(cw * halver, n_fft), n=n_fft, axis=-1).real
+
+    idx = jnp.arange(1, order + 1)
+    habs = jnp.abs(idx[:, None] - idx[None, :])
+    hsum = idx[:, None] + idx[None, :]
+
+    def body(_, c):
+        halved = c.at[..., 1:].multiply(0.5)
+        logh = jnp.fft.rfft(_mirror(halved, n_fft), n=n_fft, axis=-1).real
+        E = jnp.exp(log_sw - 2.0 * logh)
+        r = jnp.fft.irfft(E, n=n_fft, axis=-1)[..., : 2 * order + 1]
+        c = c.at[..., 0].add(0.5 * jnp.log(r[..., 0]))
+        r = r / r[..., :1]
+        H = r[..., habs] + r[..., hsum]
+        delta = jnp.linalg.solve(H, r[..., 1: order + 1][..., None])[..., 0]
+        return c.at[..., 1:].add(delta)
+
+    return jax.lax.fori_loop(0, n_iter, body, c)
+
+
+def _mirror(c: jnp.ndarray, n_fft: int) -> jnp.ndarray:
+    """(..., M+1) one-sided coefficients -> (..., n_fft) symmetric seq."""
+    m1 = c.shape[-1]
+    out = jnp.zeros(c.shape[:-1] + (n_fft,), c.dtype)
+    out = out.at[..., :m1].set(c)
+    return out.at[..., n_fft - m1 + 1:].set(c[..., 1:][..., ::-1])
+
+
+@partial(jax.jit, static_argnames=("fftl", "shiftl", "dim", "refine"))
 def stft_mcep_jax(x: jnp.ndarray, fftl: int = 512, shiftl: int = 256,
-                  dim: int = 25, alpha: float = 0.41) -> jnp.ndarray:
+                  dim: int = 25, alpha: float = 0.41,
+                  refine: bool = True) -> jnp.ndarray:
     """Framewise STFT mel-cepstrum (parity with dsp.cepstrum.stft_mcep):
-    non-centered Hamming frames."""
+    non-centered Hamming frames, UELS Newton refinement by default."""
     x = jnp.asarray(x)
     n_frame = (x.shape[-1] - fftl) // shiftl + 1
     idx = jnp.arange(fftl)[None, :] + shiftl * jnp.arange(n_frame)[:, None]
     frames = x[idx]
     # periodic Hamming (scipy get_window's fftbins=True default)
     win = 0.54 - 0.46 * jnp.cos(2.0 * jnp.pi * jnp.arange(fftl) / fftl)
-    spec = jnp.abs(jnp.fft.rfft(frames * win[None, :], axis=-1)) ** 2
-    return sp2mc_jax(jnp.maximum(spec, 1e-10), dim, alpha)
+    spec = jnp.maximum(
+        jnp.abs(jnp.fft.rfft(frames * win[None, :], axis=-1)) ** 2, 1e-10)
+    c = sp2mc_jax(spec, dim, alpha)
+    if refine:
+        c = uels_refine_jax(c, spec, alpha, dim)
+    return c
 
 
 @partial(jax.jit, static_argnames=("n_fft", "ir_length"))

@@ -355,6 +355,13 @@ def _warmup_state(params: Params, config: WaveNetConfig,
     The fast-WaveNet warm-up (`wavenet.py:336-350` in the reference).
     One-time O(B * T0 * model) cost per batch; the scan itself is O(B)
     per emitted sample.
+
+    For kernel_size 2 the ring stores PROJECTION-FORWARDED values: each
+    slot holds ``out_l(p) @ w_past_l`` (the (B, 2R) gate contribution the
+    activation will make at position p + d) instead of the raw (B, R)
+    activation.  The projection runs at WRITE time fused with the
+    current-tap matmul, so the per-sample read becomes a pure add — one
+    double-width matmul per layer instead of two dependent ones.
     """
     c = config
     B, T0 = x.shape
@@ -365,6 +372,9 @@ def _warmup_state(params: Params, config: WaveNetConfig,
     buf_dt = dt if dt == jnp.bfloat16 else c.acc_dtype
     caps, offsets, total_cap = _buffer_layout(c)
 
+    proj_fwd = (k == 2)
+    dil_w_past = params["dil"]["w"][:, 0].astype(dt) if proj_fwd else None
+
     def fill(x_chunk, h_chunk):
         streams = _forward_collect(params, c, x_chunk, h_chunk)
         parts = []
@@ -372,11 +382,13 @@ def _warmup_state(params: Params, config: WaveNetConfig,
             cap = caps[l]
             # positions T0-1-cap .. T0-2 of stream l, at slot pos % cap
             seg = streams[l][:, T0 - 1 - cap: T0 - 1]         # (Bc, cap, R)
+            if proj_fwd:
+                seg = _dot(seg.astype(dt), dil_w_past[l])     # (Bc, cap, 2R)
             pos = (jnp.arange(T0 - 1 - cap, T0 - 1)) % cap
             seg_t = jnp.transpose(seg, (1, 0, 2)).astype(buf_dt)
             buf_l = jnp.zeros((cap,) + seg_t.shape[1:], buf_dt).at[pos].set(seg_t)
             parts.append(buf_l)
-        return jnp.concatenate(parts, axis=0)                 # (total_cap, Bc, R)
+        return jnp.concatenate(parts, axis=0)   # (total_cap, Bc, R or 2R)
 
     # chunk the teacher-forced warm-up over batch — its activations are
     # O(B * T0 * channels) and blow HBM for big decode fleets otherwise.
@@ -390,8 +402,9 @@ def _warmup_state(params: Params, config: WaveNetConfig,
         xc = x.reshape(B // chunk, chunk, T0)
         hc = h_up[:, :T0].reshape(B // chunk, chunk, T0, h_up.shape[2])
         bufs = lax.map(lambda args: fill(*args), (xc, hc))
-        # (n_chunks, total_cap, chunk, R) -> (total_cap, B, R)
-        act_buf = jnp.transpose(bufs, (1, 0, 2, 3)).reshape(bufs.shape[1], B, R)
+        # (n_chunks, total_cap, chunk, W) -> (total_cap, B, W)
+        act_buf = jnp.transpose(bufs, (1, 0, 2, 3)).reshape(
+            bufs.shape[1], B, bufs.shape[-1])
     else:
         bufs = [fill(x[b: b + chunk], h_up[b: b + chunk, :T0])
                 for b in range(0, B, chunk)]
@@ -475,10 +488,14 @@ def _scan_from_state(params: Params, config: WaveNetConfig, carry,
         hcol = lax.dynamic_slice(h_up, (0, p, 0), (B, 1, c.n_aux))[:, 0, :].astype(dt)
         za_all = _dot(hcol, aux_w_flat).reshape(B, L, 2 * R) + aux_b[None]
 
-        # ONE gather for every layer's past taps, ONE batched matmul for
-        # all their gate contributions (they only depend on the previous
-        # step's state, so none of this is in the sequential chain)
-        if k > 1:
+        # ONE gather for every layer's past taps.  kernel_size 2 rings
+        # are projection-forwarded (slots already hold the (B, 2R) gate
+        # contribution), so the gather IS z_past — no matmul; other
+        # kernel sizes batch one einsum over the raw activations.
+        if k == 2:
+            read_idx = (offs_v + (p - lags_v[:, 0]) % caps_v)
+            z_past = act_buf[read_idx].astype(c.acc_dtype)        # (L, B, 2R)
+        elif k > 1:
             read_idx = (offs_v[:, None] + (p - lags_v) % caps_v[:, None]).reshape(-1)
             past = act_buf[read_idx].reshape(L, k - 1, B, R)      # gather
             z_past = jnp.einsum(
@@ -499,9 +516,14 @@ def _scan_from_state(params: Params, config: WaveNetConfig, carry,
             out = sr[:, S:] + out
 
         # ONE scatter records every layer's input for future taps
+        # (kernel_size 2: projected at write time, one batched matmul)
         write_idx = offs_v + p % caps_v
-        act_buf = act_buf.at[write_idx].set(
-            jnp.stack(new_vals).astype(buf_dt))
+        new_stack = jnp.stack(new_vals)                           # (L, B, R)
+        if k == 2:
+            new_stack = jnp.einsum(
+                "lbr,lro->lbo", new_stack.astype(dt), dil_w_past[:, 0],
+                preferred_element_type=c.acc_dtype)               # (L, B, 2R)
+        act_buf = act_buf.at[write_idx].set(new_stack.astype(buf_dt))
 
         post = jax.nn.relu(skip_sum)
         post = jax.nn.relu(_dot(post.astype(dt), post1_w) + post1_b)

@@ -55,8 +55,13 @@ def get_lib():
     lib.wndsp_mc2b.argtypes = [d, c_i, c_d, d]
     lib.wndsp_b2mc.argtypes = [d, c_i, c_d, d]
     lib.wndsp_sp2mc.argtypes = [d, c_i, c_i, c_d, c_d, d]
-    lib.wndsp_mcep_frame.argtypes = [d, c_i, c_i, c_i, c_d, c_d, d]
-    lib.wndsp_stft_mcep.argtypes = [d, c_i, d, c_i, c_i, c_i, c_d, c_d, d]
+    lib.wndsp_mcep_frame.argtypes = [d, c_i, c_i, c_i, c_d, c_d, c_i, d]
+    lib.wndsp_stft_mcep.argtypes = [d, c_i, d, c_i, c_i, c_i, c_d, c_d,
+                                    c_i, d]
+    lib.wndsp_uels_refine.argtypes = [d, c_i, d, c_i, c_d, c_i, c_d]
+    lib.wndsp_version.restype = ctypes.c_int
+    if lib.wndsp_version() < 2:  # stale build with the old ABI
+        return None
     lib.wndsp_mlsa_ir.argtypes = [d, c_i, c_d, c_i, c_i, d]
     lib.wndsp_mlsa_filter.argtypes = [d, c_i, d, c_i, c_d, c_i, c_i, d]
     lib.wndsp_fir_filter.argtypes = [d, c_i, d, c_i, d]
@@ -113,20 +118,31 @@ def sp2mc(power_spec: np.ndarray, order: int, alpha: float,
 
 
 def mcep(frame: np.ndarray, order: int = 24, alpha: float = 0.41,
-         eps: float = 1e-10, n_fft: int | None = None) -> np.ndarray:
+         eps: float = 1e-10, n_fft: int | None = None,
+         refine: bool = True) -> np.ndarray:
     lib = get_lib()
     frame = np.ascontiguousarray(frame, np.float64)
     if n_fft is None:
         n_fft = len(frame)
     out = np.empty(order + 1, np.float64)
     lib.wndsp_mcep_frame(_dp(frame), len(frame), n_fft, order, alpha, eps,
-                         _dp(out))
+                         int(refine), _dp(out))
+    return out
+
+
+def uels_refine(c: np.ndarray, power_spec: np.ndarray, alpha: float,
+                n_iter: int = 30, threshold: float = 1e-8) -> np.ndarray:
+    lib = get_lib()
+    out = np.ascontiguousarray(c, np.float64).copy()
+    ps = np.ascontiguousarray(power_spec, np.float64)
+    lib.wndsp_uels_refine(_dp(out), len(out) - 1, _dp(ps), len(ps), alpha,
+                          n_iter, threshold)
     return out
 
 
 def stft_mcep(x: np.ndarray, fftl: int = 512, shiftl: int = 256,
               dim: int = 25, alpha: float = 0.41, window: str = "hamming",
-              eps: float = 1e-10) -> np.ndarray:
+              eps: float = 1e-10, refine: bool = True) -> np.ndarray:
     from scipy.signal import get_window
 
     lib = get_lib()
@@ -135,7 +151,7 @@ def stft_mcep(x: np.ndarray, fftl: int = 512, shiftl: int = 256,
     n_frames = (len(x) - fftl) // shiftl + 1
     out = np.empty((n_frames, dim + 1), np.float64)
     lib.wndsp_stft_mcep(_dp(x), len(x), _dp(win), fftl, shiftl, dim, alpha,
-                        eps, _dp(out))
+                        eps, int(refine), _dp(out))
     return out
 
 

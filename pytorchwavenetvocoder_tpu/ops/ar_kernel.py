@@ -110,7 +110,10 @@ def weights_resident(config, B: int) -> bool:
     R, S, L = c.n_resch, c.n_skipch, c.n_layers
     W = c.kernel_size * 2 * R + S + R
     pack = L * R * W * 2
-    working = (L * (c.kernel_size - 1) * B * R * 2  # tap staging
+    # kernel_size 2 rings are projection-forwarded: staging rows are
+    # (B, 2R) instead of (k-1) x (B, R)
+    tap_rows = 2 * R if c.kernel_size == 2 else (c.kernel_size - 1) * R
+    working = (L * B * tap_rows * 2   # tap staging
                + L * 32 * 2 * R * 2  # aux pack
                + B * R * 8           # residual/gate temporaries
                + 8 * 1024 * 1024)    # stack headroom
@@ -149,6 +152,42 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
     offsets = [int(o) for o in offsets]
     W = k * 2 * R + S + R
     resident = weights_resident(c, B)
+    # kernel_size 2: projection-forwarded rings — slots hold the (B, 2R)
+    # gate contribution out_l(p) @ w_past_l (computed at write time fused
+    # with the current-tap matmul into one (B,R)@(R,4R) op); the read
+    # side is then a pure add.  _warmup_state packs the ring this way.
+    proj_fwd = (k == 2)
+    RW = 2 * R if proj_fwd else R  # ring row width
+
+    # ---- dilation-grouped ring layout ----------------------------------
+    # The dilation cycle repeats `G` times; all G layers sharing a
+    # dilation read/write the SAME ring slot index each step, so laying
+    # their rings out interleaved ((cap, G, B, R) flattened) turns G
+    # separate tap DMAs into ONE (G, B, R) DMA per distinct dilation —
+    # 60 -> 20 DMA ops/step for the flagship config.
+    base_cycle: list[int] = []
+    for d in dils:
+        if base_cycle and d == base_cycle[0]:
+            break
+        base_cycle.append(d)
+    depth = len(base_cycle)
+    G = L // depth
+    if not (L == depth * G and dils == base_cycle * G):
+        depth, G = L, 1  # irregular dilations: one group per layer
+    gcaps = [(k - 1) * d for d in dils[:depth]]
+    gbases = [0]
+    for g in range(depth - 1):
+        gbases.append(gbases[-1] + gcaps[g] * G)
+
+    if G > 1:
+        parts = []
+        for g in range(depth):
+            segs = [act_buf[offsets[g + r * depth]:
+                            offsets[g + r * depth] + gcaps[g]]
+                    for r in range(G)]
+            seg = jnp.stack(segs, axis=1)          # (cap, G, B, RW)
+            parts.append(seg.reshape(gcaps[g] * G, B, RW))
+        act_buf = jnp.concatenate(parts, axis=0)
 
     wpack, auxpack, causal_pack, post1_w, post2_w, biases = _pack_weights(params, c)
     if quantize:
@@ -220,48 +259,71 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                           preferred_element_type=jnp.int32)
             return acc.astype(jnp.float32) * sx * wscale_ref[l, lo:hi][None, :]
 
-        def tap_read_dma(l, j, slot):
-            # lag j*d tap of layer l lands in tap_buf[l*(k-1) + j-1]
+        def tap_read_dma(g, j, slot):
+            # lag j*d taps of ALL G layers in dilation-group g land in
+            # tap_buf rows [(g*(k-1)+j-1)*G, +G) with one DMA
+            row = (g * (k - 1) + (j - 1)) * G
             return pltpu.make_async_copy(
-                actbuf_ref.at[pl.ds(slot, 1)],
-                tap_buf.at[pl.ds(l * (k - 1) + (j - 1), 1)],
-                read_sems.at[l * (k - 1) + (j - 1)])
+                actbuf_ref.at[pl.ds(gbases[g] + slot * G, G)],
+                tap_buf.at[pl.ds(row, G)],
+                read_sems.at[g * (k - 1) + (j - 1)])
 
-        def tap_write_dma(l, slot):
-            # staging reuses the OLDEST tap's buffer (its ring slot is
-            # the write slot: (p - (k-1)d) mod (k-1)d == p mod (k-1)d)
+        def tap_write_dma(g, slot):
+            # staging reuses the OLDEST tap's buffer rows (their ring
+            # slot is the write slot: (p-(k-1)d) mod (k-1)d == p mod
+            # (k-1)d); issued once per group after its last member
+            row = (g * (k - 1) + (k - 2)) * G
             return pltpu.make_async_copy(
-                tap_buf.at[pl.ds(l * (k - 1) + (k - 2), 1)],
-                actbuf_ref.at[pl.ds(slot, 1)],
-                write_sems.at[l])
+                tap_buf.at[pl.ds(row, G)],
+                actbuf_ref.at[pl.ds(gbases[g] + slot * G, G)],
+                write_sems.at[g])
 
-        def h_dma():
+        def h_dma(pos, slot):
+            # double-buffered: step i consumes the column prefetched at
+            # step i-1 so the HBM latency never sits on the critical path
             return pltpu.make_async_copy(
-                h_ref.at[pl.ds(p, 1)], hcol_buf, h_sem)
+                h_ref.at[pl.ds(pos, 1)],
+                hcol_buf.at[pl.ds(slot, 1)], h_sem.at[slot])
 
         # ---- step prologue -------------------------------------------
         @pl.when(i == 0)
         def _():
             prev_buf[:] = prev_init_ref[:]
+            h_dma(p, 0).start()
 
         if not resident:
             @pl.when(i == 0)
             def _():
                 w_dma(0).start()
 
-        h_dma().start()
+        @pl.when(i + 1 < max_n)
+        def _():
+            h_dma(p + 1, (i + 1) % 2).start()
+
+        # wait for LAST step's ring writes before this step's reads: the
+        # d=1 layers reuse the same slot every step, and waiting here
+        # (a full post-stack later) instead of at end-of-step keeps the
+        # late layers' write latency off the critical path
+        if not _DEBUG_NOTAP:
+            @pl.when(i > 0)
+            def _():
+                for g in range(depth):
+                    # wait() only consumes the semaphore for a copy of
+                    # this shape; the slot index is irrelevant here
+                    tap_write_dma(g, 0).wait()
+
         wslots = []
         rslots = []
-        for l in range(L):
-            cap, off, d = caps[l], offsets[l], dils[l]
-            wslot = off + p % cap if cap > 1 else off
+        for g in range(depth):
+            cap, d = gcaps[g], dils[g]
+            wslot = p % cap if cap > 1 else 0
             wslots.append(wslot)
             rs = []
             for j in range(1, k):
-                rslot = off + (p - j * d) % cap if cap > 1 else off
+                rslot = (p - j * d) % cap if cap > 1 else 0
                 rs.append(rslot)
                 if not _DEBUG_NOTAP:
-                    tap_read_dma(l, j, rslot).start()
+                    tap_read_dma(g, j, rslot).start()
             rslots.append(rs)
 
         # input conv as one one-hot matmul over all k taps
@@ -274,34 +336,41 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                       preferred_element_type=jnp.float32) + causal_b_ref[:]
         out_buf[:] = out
 
-        h_dma().wait()
-        hcol = hcol_buf[0, :, :aux_rows]          # (B, aux_rows) bf16
+        h_dma(p, i % 2).wait()
+        hcol = hcol_buf[i % 2, :, :aux_rows]      # (B, aux_rows) bf16
 
         skip = jnp.zeros((B, S), jnp.float32)
 
         def z_indep(l):
             """Layer l's gate-input terms that do NOT depend on the serial
             chain: ring taps, aux conditioning, bias."""
+            g, rep = l % depth, l // depth
             if _DEBUG_NOTAP:
                 zp = jnp.zeros((B, 2 * R), jnp.float32)
                 if not _DEBUG_NOAUX:
                     zp = zp + jnp.dot(hcol, auxpack_ref[l],
                                       preferred_element_type=jnp.float32)
                 return zp + dil_b_ref[l][None, :]
-            for j in range(1, k):
-                tap_read_dma(l, j, rslots[l][j - 1]).wait()
-            if quantize:
-                zp = qdot(tap_buf[l * (k - 1)].astype(jnp.float32),
-                          l, 2 * R, 4 * R)
+            if rep == 0:  # the group's DMA is waited once, by its first member
+                for j in range(1, k):
+                    tap_read_dma(g, j, rslots[g][j - 1]).wait()
+
+            def tap_row(j):
+                return tap_buf[(g * (k - 1) + (j - 1)) * G + rep]
+
+            if proj_fwd:
+                # the ring already holds the projected contribution
+                zp = tap_row(1).astype(jnp.float32)
+            elif quantize:
+                zp = qdot(tap_row(1).astype(jnp.float32), l, 2 * R, 4 * R)
                 for j in range(2, k):
-                    zp = zp + qdot(
-                        tap_buf[l * (k - 1) + (j - 1)].astype(jnp.float32),
-                        l, j * 2 * R, (j + 1) * 2 * R)
+                    zp = zp + qdot(tap_row(j).astype(jnp.float32),
+                                   l, j * 2 * R, (j + 1) * 2 * R)
             else:
-                zp = jnp.dot(tap_buf[l * (k - 1)], w_cols(l, 2 * R, 4 * R),
+                zp = jnp.dot(tap_row(1), w_cols(l, 2 * R, 4 * R),
                              preferred_element_type=jnp.float32)
                 for j in range(2, k):
-                    zp = zp + jnp.dot(tap_buf[l * (k - 1) + (j - 1)],
+                    zp = zp + jnp.dot(tap_row(j),
                                       w_cols(l, j * 2 * R, (j + 1) * 2 * R),
                                       preferred_element_type=jnp.float32)
             if not _DEBUG_NOAUX:
@@ -330,11 +399,21 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                 zp_l = z_indep(l) if zp_next is None else zp_next
 
             out_bf = out_buf[:].astype(jnp.bfloat16)
-            if quantize:
-                z = qdot(out_buf[:], l, 0, 2 * R) + zp_l
+            if proj_fwd and not _DEBUG_NOTAP:
+                # ONE double-width matmul computes this layer's current-
+                # tap term AND the projected contribution for step p + d
+                if quantize:
+                    zfull = qdot(out_buf[:], l, 0, 4 * R)
+                else:
+                    zfull = jnp.dot(out_bf, w_cols(l, 0, 4 * R),
+                                    preferred_element_type=jnp.float32)
+                z = zfull[:, : 2 * R] + zp_l
             else:
-                z = jnp.dot(out_bf, w_cols(l, 0, 2 * R),
-                            preferred_element_type=jnp.float32) + zp_l
+                if quantize:
+                    z = qdot(out_buf[:], l, 0, 2 * R) + zp_l
+                else:
+                    z = jnp.dot(out_bf, w_cols(l, 0, 2 * R),
+                                preferred_element_type=jnp.float32) + zp_l
 
             if resident and l + 1 < L:
                 zp_next = z_indep(l + 1)  # MXU work issued before the VPU gate
@@ -345,11 +424,16 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                 gate = jax.nn.sigmoid(z[:, :R]) * jnp.tanh(z[:, R:])
             g = gate.astype(jnp.bfloat16)
 
-            # stage this layer's input into the oldest tap's (now free)
-            # buffer and write it back to its ring slot for future taps
+            # stage this layer's ring value into the oldest tap's (now
+            # free) buffer row; once the group's LAST member has staged,
+            # one DMA writes all G rows back to the ring for future taps
             if not _DEBUG_NOTAP:
-                tap_buf[l * (k - 1) + (k - 2)] = out_bf
-                tap_write_dma(l, wslots[l]).start()
+                grp, rep = l % depth, l // depth
+                staged = (zfull[:, 2 * R:].astype(jnp.bfloat16)
+                          if proj_fwd else out_bf)
+                tap_buf[(grp * (k - 1) + (k - 2)) * G + rep] = staged
+                if rep == G - 1:
+                    tap_write_dma(grp, wslots[grp]).start()
 
             if quantize:
                 sr = qdot(gate, l, k * 2 * R, W) + sr_b_ref[l][None, :]
@@ -383,47 +467,68 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         else:
             sample = jnp.argmax(logits, axis=1).astype(jnp.int32)
 
-        # samples flush in 8-row blocks (HBM sublane tiling alignment)
-        samp_buf[i % 8, :B] = sample
+        # samples flush in 8-row blocks (HBM sublane tiling alignment),
+        # double-buffered halves so the flush DMA never stalls the loop:
+        # block m's flush is only waited when its buffer half is reused
+        # (block m+2) or at the very last step
+        def samp_flush(m):
+            if isinstance(m, int):
+                half, blk = (m % 2) * 8, m * 8
+            else:
+                half = pl.multiple_of((m % 2) * 8, 8)
+                blk = pl.multiple_of(m * 8, 8)
+            return pltpu.make_async_copy(
+                samp_buf.at[pl.ds(half, 8)],
+                samples_ref.at[pl.ds(blk, 8)],
+                samp_sem.at[m % 2])
+
+        @pl.when((i % 8 == 0) & (i >= 16))
+        def _():
+            samp_flush(i // 8 - 2).wait()
+
+        samp_buf[i % 16, :B] = sample
 
         @pl.when((i % 8 == 7) | (i == max_n - 1))
         def _():
-            blk = pl.multiple_of((i // 8) * 8, 8)
-            samp_dma = pltpu.make_async_copy(
-                samp_buf, samples_ref.at[pl.ds(blk, 8)], samp_sem)
-            samp_dma.start()
-            samp_dma.wait()
+            samp_flush(i // 8).start()
+
+        n_blocks = (max_n + 7) // 8
+        @pl.when(i == max_n - 1)
+        def _():
+            if n_blocks >= 2:
+                samp_flush(n_blocks - 2).wait()
+            samp_flush(n_blocks - 1).wait()
+            # the last step's ring writes have no next prologue to wait
+            # in — drain them here so the kernel exits clean
+            if not _DEBUG_NOTAP:
+                for g in range(depth):
+                    tap_write_dma(g, 0).wait()
 
         pv = prev_buf[:]
         prev_buf[:] = jnp.concatenate([pv[:, 1:], sample[:, None]], axis=1)
 
-        # ensure ring writes land before the next step reads them
-        if not _DEBUG_NOTAP:
-            for l in range(L):
-                tap_write_dma(l, wslots[l]).wait()
-
     total_cap = act_buf.shape[0]
 
     pack_dt = jnp.int8 if quantize else jnp.bfloat16
-    scratch_shapes = [pltpu.VMEM((L * (k - 1), B, R), jnp.bfloat16)]  # tap_buf
+    scratch_shapes = [pltpu.VMEM((L * (k - 1), B, RW), jnp.bfloat16)]  # tap_buf
     if not resident:
         scratch_shapes.append(pltpu.VMEM((2, R, W), pack_dt))  # w_buf
     scratch_shapes += [
-        pltpu.VMEM((1, B, h_rows), jnp.bfloat16),  # hcol
+        pltpu.VMEM((2, B, h_rows), jnp.bfloat16),  # hcol (double-buffered)
         pltpu.VMEM((B, R), jnp.float32),          # out_buf
         pltpu.VMEM((B, k), jnp.int32),            # prev_buf
-        pltpu.VMEM((8, B_pad), jnp.int32),            # samp_buf
-        # one semaphore per tap DMA: tap_read_dma indexes read_sems at
-        # l*(k-1)+(j-1), which reaches L*(k-1)-1 for kernel_size 3 —
-        # sizing this (L,) would alias/overflow semaphores on hardware
-        pltpu.SemaphoreType.DMA((L * (k - 1),)),  # read_sems
-        pltpu.SemaphoreType.DMA((L,)),            # write_sems
+        pltpu.VMEM((16, B_pad), jnp.int32),       # samp_buf (2 halves)
+        # one semaphore per GROUP tap DMA: tap_read_dma indexes read_sems
+        # at g*(k-1)+(j-1) up to depth*(k-1)-1 (undersizing would alias/
+        # overflow semaphores on hardware — caught by the round-1 review)
+        pltpu.SemaphoreType.DMA((depth * (k - 1),)),  # read_sems
+        pltpu.SemaphoreType.DMA((depth,)),            # write_sems
     ]
     if not resident:
         scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))   # w_sems
     scratch_shapes += [
-        pltpu.SemaphoreType.DMA(()),              # h_sem
-        pltpu.SemaphoreType.DMA(()),              # samp_sem
+        pltpu.SemaphoreType.DMA((2,)),            # h_sem (per h buffer)
+        pltpu.SemaphoreType.DMA((2,)),            # samp_sem (per half)
     ]
 
     wpack_spec = (pl.BlockSpec((L, R, W), lambda i: (0, 0, 0),
@@ -466,7 +571,7 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((max_n_pad, B_pad), jnp.int32),
-            jax.ShapeDtypeStruct((total_cap, B, R), jnp.bfloat16),
+            jax.ShapeDtypeStruct((total_cap, B, RW), jnp.bfloat16),
         ],
         input_output_aliases={4: 1},
         compiler_params=pltpu.CompilerParams(

@@ -40,6 +40,7 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     mode = sys.argv[2] if len(sys.argv) > 2 else "sampling"
     n_samples = int(sys.argv[3]) if len(sys.argv) > 3 else 4000
+    quantize = len(sys.argv) > 4 and sys.argv[4] == "int8"
 
     config = WaveNetConfig(
         n_quantize=256, n_aux=28, n_resch=512, n_skipch=256,
@@ -65,17 +66,19 @@ def main():
 
     t0 = time.time()
     np.asarray(pallas_ar_generate(params, config, carry, hj, T0,
-                                  n_samples, mode, jax.random.PRNGKey(0)))
+                                  n_samples, mode, jax.random.PRNGKey(0),
+                                  quantize=quantize))
     compile_s = time.time() - t0
 
     times = []
     for k in range(1, 4):
         t0 = time.time()
         np.asarray(pallas_ar_generate(params, config, carry, hj, T0,
-                                      n_samples, mode, jax.random.PRNGKey(k)))
+                                      n_samples, mode, jax.random.PRNGKey(k),
+                                      quantize=quantize))
         times.append(time.time() - t0)
     el = min(times)
-    print(f"B={B} mode={mode} n={n_samples}: {el:.4f}s "
+    print(f"B={B} mode={mode} q={quantize} n={n_samples}: {el:.4f}s "
           f"{el / n_samples * 1e6:.2f} us/step "
           f"{B * n_samples / el / 1e6:.3f} Msamples/s "
           f"(compile {compile_s:.1f}s)")

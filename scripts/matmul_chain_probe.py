@@ -11,6 +11,9 @@ Usage: python scripts/matmul_chain_probe.py [B] [n_steps] [variant]
   variant: "split"  - 3 matmuls as in the real kernel (default)
            "merged" - [cur|past] fused into one K=1024 matmul
            "spine"  - only the 2 serial matmuls (cur + sr), no past tap
+           "full"   - 2 serial matmuls, ALL columns consumed (no DCE)
+           "dual"   - like full, but two independent B/2 chains
+                      interleaved per layer (pipeline-drain recovery)
 """
 
 import os
@@ -48,11 +51,15 @@ def main():
     # only ship the weights the variant uses (all four together blow VMEM)
     if variant == "merged":
         weights = {"wm": w_merged, "ws": w_sr}
-    elif variant == "spine":
+    elif variant in ("spine", "full", "dual"):
         weights = {"wc": w_cur, "ws": w_sr}
     else:
         weights = {"wc": w_cur, "wp": w_past, "ws": w_sr}
     wnames = list(weights)
+    w_back = jax.random.normal(key, (L, 2 * R, R), jnp.bfloat16) * 0.02
+    if variant in ("full", "dual"):
+        weights["wb"] = w_back
+        wnames = list(weights)
 
     def kernel(x_ref, *refs):
         o_ref, acc = refs[len(wnames)], refs[len(wnames) + 1]
@@ -67,22 +74,48 @@ def main():
         def _():
             acc[:] = x_ref[:]
 
-        out = acc[:]
-        for l in range(L):
-            if variant == "merged":
-                lhs = jnp.concatenate([out, out], axis=1)  # stand-in concat
-                z = jnp.dot(lhs, wm_ref[l], preferred_element_type=jnp.float32)
-            elif variant == "spine":
+        wb_ref = wrefs.get("wb")
+        if variant == "full":
+            out = acc[:]
+            for l in range(L):
                 z = jnp.dot(out, wc_ref[l], preferred_element_type=jnp.float32)
-            else:
-                z = jnp.dot(out, wc_ref[l], preferred_element_type=jnp.float32)
-                z = z + jnp.dot(out, wp_ref[l],
+                out = jnp.dot(z.astype(jnp.bfloat16), wb_ref[l],
+                              preferred_element_type=jnp.float32
+                              ).astype(jnp.bfloat16) + out
+            acc[:] = out
+        elif variant == "dual":
+            h1 = acc[: B // 2]
+            h2 = acc[B // 2:]
+            for l in range(L):
+                z1 = jnp.dot(h1, wc_ref[l], preferred_element_type=jnp.float32)
+                z2 = jnp.dot(h2, wc_ref[l], preferred_element_type=jnp.float32)
+                h1 = jnp.dot(z1.astype(jnp.bfloat16), wb_ref[l],
+                             preferred_element_type=jnp.float32
+                             ).astype(jnp.bfloat16) + h1
+                h2 = jnp.dot(z2.astype(jnp.bfloat16), wb_ref[l],
+                             preferred_element_type=jnp.float32
+                             ).astype(jnp.bfloat16) + h2
+            acc[: B // 2] = h1
+            acc[B // 2:] = h2
+        else:
+            out = acc[:]
+            for l in range(L):
+                if variant == "merged":
+                    lhs = jnp.concatenate([out, out], axis=1)  # stand-in
+                    z = jnp.dot(lhs, wm_ref[l],
                                 preferred_element_type=jnp.float32)
-            g = z[:, :R].astype(jnp.bfloat16)
-            sr = jnp.dot(g, ws_ref[l], preferred_element_type=jnp.float32)
-            out = sr[:, S:].astype(jnp.bfloat16) + out
-
-        acc[:] = out
+                elif variant == "spine":
+                    z = jnp.dot(out, wc_ref[l],
+                                preferred_element_type=jnp.float32)
+                else:
+                    z = jnp.dot(out, wc_ref[l],
+                                preferred_element_type=jnp.float32)
+                    z = z + jnp.dot(out, wp_ref[l],
+                                    preferred_element_type=jnp.float32)
+                g = z[:, :R].astype(jnp.bfloat16)
+                sr = jnp.dot(g, ws_ref[l], preferred_element_type=jnp.float32)
+                out = sr[:, S:].astype(jnp.bfloat16) + out
+            acc[:] = out
 
         @pl.when(i == n - 1)
         def _():
@@ -118,7 +151,9 @@ def main():
     el = min(times)
     flops = {"split": 2 * B * R * (2 * 2 * R + (S + R)) * L,
              "merged": 2 * B * (2 * R) * (2 * R) * L + 2 * B * R * (S + R) * L,
-             "spine": 2 * B * R * (2 * R + S + R) * L}[variant]
+             "spine": 2 * B * R * (2 * R + S + R) * L,
+             "full": 2 * B * R * 2 * R * 2 * L,
+             "dual": 2 * B * R * 2 * R * 2 * L}[variant]
     print(f"chain B={B} variant={variant}: {el / n * 1e6:.2f} us/step  "
           f"{flops / (el / n) / 1e12:.1f} TFLOPs "
           f"(compile {compile_s:.1f}s)")

@@ -1,0 +1,250 @@
+"""Golden-number DSP validation (VERDICT round-1 item 3).
+
+pysptk/pyworld/librosa cannot run in this environment, so golden values
+are ANALYTIC: closed-form warped-cepstrum expansions, exactly-
+representable spectra, the UELS optimality conditions SPTK's mcep
+converges to, and synthetic F0 contours with known ground truth.
+These replace the round-1 shape-only checks with numeric ones.
+
+References: SPTK mcep (reference `feature_extract.py:144`), WORLD
+Harvest/D4C surface (`feature_extract.py:154-196`).
+"""
+
+import numpy as np
+import pytest
+
+from pytorchwavenetvocoder_tpu.dsp.cepstrum import (
+    _warped_log_spec,
+    freqt,
+    mc2sp,
+    mcep,
+    sp2mc,
+    uels_refine,
+)
+from pytorchwavenetvocoder_tpu.dsp.f0 import extract_f0
+
+FS = 16000
+
+
+def residual_coeffs(c, power_spec, alpha):
+    """Fourier coefficients r_m of the UELS residual spectrum E(lam).
+
+    At SPTK's mcep optimum: r_0 = 1 and r_m = 0 for m = 1..order.
+    """
+    log_sw = _warped_log_spec(power_spec, alpha)
+    nf = (len(power_spec) - 1) * 2
+    cz = np.zeros(nf)
+    cz[0] = c[0]
+    cz[1: len(c)] = 0.5 * c[1:]
+    cz[nf - len(c) + 1:] = 0.5 * c[1:][::-1]
+    logh = np.fft.rfft(cz).real
+    E = np.exp(log_sw - 2 * logh)
+    return np.fft.irfft(E, n=nf)[: len(c)]
+
+
+# ---------------------------------------------------------------------
+# freqt: analytic golden values
+# ---------------------------------------------------------------------
+
+
+def test_freqt_golden_constant():
+    # a constant log spectrum is warp-invariant: freqt([c0]) = [c0, 0...]
+    g = freqt(np.array([5.0]), 8, 0.42)
+    np.testing.assert_allclose(g, [5.0] + [0.0] * 8, atol=1e-14)
+
+
+def test_freqt_golden_single_coefficient():
+    # closed form for the unit linear-cepstrum coefficient c = [0, 1]:
+    # g[0] = alpha, g[m] = (1 - alpha^2) * (-alpha)^(m-1)   (m >= 1)
+    alpha = 0.41
+    order = 10
+    g = freqt(np.array([0.0, 1.0]), order, alpha)
+    beta = 1.0 - alpha * alpha
+    expected = [alpha] + [beta * (-alpha) ** (m - 1)
+                          for m in range(1, order + 1)]
+    np.testing.assert_allclose(g, expected, atol=1e-14)
+
+
+# ---------------------------------------------------------------------
+# mcep: UELS optimality + exact recovery (what pysptk.mcep converges to)
+# ---------------------------------------------------------------------
+
+
+def _speech_like_spec(seed=0, n_fft=512):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n_fft)
+    x = (np.sin(2 * np.pi * 0.03 * t) + 0.3 * np.sin(2 * np.pi * 0.11 * t)
+         + 0.1 * rng.randn(n_fft)) * np.hamming(n_fft)
+    return np.maximum(np.abs(np.fft.rfft(x)) ** 2, 1e-10), x
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_mcep_satisfies_uels_optimality(seed):
+    spec, _ = _speech_like_spec(seed)
+    order, alpha = 24, 0.41
+    c_init = sp2mc(spec, order, alpha)
+    c_ref = uels_refine(c_init, spec, alpha)
+    r_init = residual_coeffs(c_init, spec, alpha)
+    r_ref = residual_coeffs(c_ref, spec, alpha)
+    # the initialization does NOT satisfy optimality...
+    assert np.max(np.abs(r_init[1:])) > 1e-2
+    # ...the Newton-refined solution does, to machine-ish precision
+    assert abs(r_ref[0] - 1.0) < 1e-7, r_ref[0]
+    assert np.max(np.abs(r_ref[1:])) < 1e-6
+
+
+def test_mcep_recovers_representable_spectrum_exactly():
+    order, alpha, n_fft = 24, 0.41, 512
+    c_true = np.zeros(order + 1)
+    c_true[0], c_true[1], c_true[2], c_true[5] = 0.5, -0.8, 0.3, 0.1
+    S = mc2sp(c_true, alpha, n_fft)
+    # truth satisfies the optimality condition...
+    r = residual_coeffs(c_true, S, alpha)
+    np.testing.assert_allclose(r[0], 1.0, atol=1e-12)
+    np.testing.assert_allclose(r[1:], 0.0, atol=1e-12)
+    # ...and refinement recovers it exactly
+    c_rec = uels_refine(sp2mc(S, order, alpha), S, alpha)
+    np.testing.assert_allclose(c_rec, c_true, atol=1e-10)
+
+
+def test_mcep_refine_flag_on_frame():
+    _, x = _speech_like_spec(3)
+    spec = np.maximum(np.abs(np.fft.rfft(x)) ** 2, 1e-10)
+    c_plain = mcep(x, 24, 0.41, refine=False)
+    c_ref = mcep(x, 24, 0.41)  # default refines (pysptk.mcep semantics)
+    assert np.max(np.abs(c_ref - c_plain)) > 1e-3  # it actually moved
+    r = residual_coeffs(c_ref, spec, 0.41)
+    assert np.max(np.abs(r[1:])) < 1e-6
+
+
+def test_native_uels_matches_numpy():
+    from pytorchwavenetvocoder_tpu import native
+
+    if not native.available():
+        pytest.skip("native library not built")
+    spec, x = _speech_like_spec(4)
+    order, alpha = 24, 0.41
+    c_init = sp2mc(spec, order, alpha)
+    c_np = uels_refine(c_init, spec, alpha)
+    c_nat = native.uels_refine(c_init, spec, alpha)
+    np.testing.assert_allclose(c_nat, c_np, rtol=1e-9, atol=1e-9)
+    # full-frame entry points agree too
+    np.testing.assert_allclose(native.mcep(x, 24, 0.41), mcep(x, 24, 0.41),
+                               rtol=1e-7, atol=1e-8)
+
+
+# ---------------------------------------------------------------------
+# F0: gross-error rate on synthetic contours with known ground truth
+# ---------------------------------------------------------------------
+
+
+def _harmonic(f_t, fs=FS, n_harm=4):
+    """Harmonic signal with instantaneous frequency contour f_t (T,)."""
+    phase = 2 * np.pi * np.cumsum(f_t) / fs
+    x = np.zeros_like(f_t)
+    for h in range(1, n_harm + 1):
+        x += np.sin(h * phase) / h
+    return x
+
+
+def _gross_fine(f0_est, f0_true_frames):
+    voiced = f0_est > 0
+    assert voiced.mean() > 0.8, "tracker lost voicing"
+    rel = np.abs(f0_est[voiced] - f0_true_frames[voiced]) / f0_true_frames[voiced]
+    gross = float(np.mean(rel > 0.2))
+    fine = float(np.mean(rel[rel <= 0.2]))
+    return gross, fine
+
+
+def test_f0_vibrato_tracking():
+    shiftms = 5.0
+    T = FS  # 1 s
+    t = np.arange(T) / FS
+    f_true = 150.0 + 30.0 * np.sin(2 * np.pi * 3.0 * t)  # 3 Hz vibrato
+    x = _harmonic(f_true)
+    f0 = extract_f0(x, FS, minf0=60, maxf0=320, shiftms=shiftms)
+    hop = int(FS * shiftms / 1000)
+    truth = f_true[np.minimum(np.arange(len(f0)) * hop, T - 1)]
+    gross, fine = _gross_fine(f0[2:-2], truth[2:-2])
+    assert gross < 0.05, f"gross error rate {gross}"
+    assert fine < 0.02, f"fine error {fine}"
+
+
+def test_f0_octave_jump_contour():
+    shiftms = 5.0
+    T = FS
+    f_true = np.where(np.arange(T) < T // 2, 120.0, 240.0)
+    x = _harmonic(f_true)
+    f0 = extract_f0(x, FS, minf0=60, maxf0=400, shiftms=shiftms)
+    hop = int(FS * shiftms / 1000)
+    truth = f_true[np.minimum(np.arange(len(f0)) * hop, T - 1)]
+    # exclude a few frames around the discontinuity and the edges
+    n = len(f0)
+    keep = np.ones(n, bool)
+    keep[: 3] = keep[-3:] = False
+    mid = n // 2
+    keep[mid - 3: mid + 4] = False
+    gross, fine = _gross_fine(f0[keep], truth[keep])
+    assert gross < 0.05, f"gross error rate {gross}"
+    assert fine < 0.02, f"fine error {fine}"
+
+
+def test_f0_voiced_unvoiced_alternation():
+    shiftms = 5.0
+    seg = FS // 4
+    rng = np.random.RandomState(0)
+    x = np.concatenate([
+        _harmonic(np.full(seg, 180.0)),
+        0.005 * rng.randn(seg),
+        _harmonic(np.full(seg, 220.0)),
+        np.zeros(seg),
+    ])
+    f0 = extract_f0(x, FS, minf0=60, maxf0=400, shiftms=shiftms)
+    hop = int(FS * shiftms / 1000)
+    frames_per_seg = seg // hop
+    margin = 4
+
+    def seg_f0(i):
+        return f0[i * frames_per_seg + margin: (i + 1) * frames_per_seg - margin]
+
+    assert np.mean(seg_f0(0) > 0) > 0.9
+    np.testing.assert_allclose(np.median(seg_f0(0)[seg_f0(0) > 0]), 180, rtol=0.05)
+    assert np.mean(seg_f0(1) > 0) < 0.2  # noise: unvoiced
+    assert np.mean(seg_f0(2) > 0) > 0.9
+    np.testing.assert_allclose(np.median(seg_f0(2)[seg_f0(2) > 0]), 220, rtol=0.05)
+    assert np.mean(seg_f0(3) > 0) < 0.1  # silence: unvoiced
+
+
+# ---------------------------------------------------------------------
+# WORLD-surface aperiodicity: band ordering on synthetic signals
+# ---------------------------------------------------------------------
+
+
+def test_band_aperiodicity_discriminates():
+    from pytorchwavenetvocoder_tpu.dsp.world import world_analyze
+
+    rng = np.random.RandomState(0)
+    fs2 = 22050  # 2 codeap bands (0-3k / 3-6k), like WORLD at 22.05k
+    T = fs2
+    # strongly periodic low band + noisy high band
+    periodic = _harmonic(np.full(T, 160.0), fs=fs2)
+    noise = rng.randn(T)
+    from scipy.signal import butter, lfilter
+
+    bh, ah = butter(4, 3500 / (fs2 / 2), "highpass")
+    x = periodic + 0.8 * lfilter(bh, ah, noise)
+    from pytorchwavenetvocoder_tpu.dsp.world import n_codeap_bands
+
+    feats = world_analyze(x, fs2, shiftms=5.0, minf0=60, maxf0=400,
+                          mcep_dim=24, mcep_alpha=0.41)
+    # columns: [uv, cont_f0_lpf, mcep (25), codeap (n_bands)]
+    n_bands = n_codeap_bands(fs2)
+    assert n_bands == 2
+    assert n_codeap_bands(FS) == 1  # 16 kHz: one band, like WORLD
+    ap = feats[:, -n_bands:]          # log-scale aperiodicity
+    voiced = feats[:, 0] > 0.5
+    assert voiced.mean() > 0.5
+    # first (lowest) band must be markedly more periodic than the last
+    low = np.median(ap[voiced, 0])
+    high = np.median(ap[voiced, -1])
+    assert low < high - 0.5, (low, high)

@@ -75,6 +75,103 @@ echo "foo=$foo bar_baz=$bar_baz flag=$flag"
     assert r.returncode != 0
 
 
+def _import_slurm():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "slurm_py", os.path.join(REPO, "egs", "utils", "slurm.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_slurm_conf_translation(tmp_path):
+    slurm = _import_slurm()
+    conf = tmp_path / "slurm.conf"
+    conf.write_text(
+        "command sbatch --export=PATH --ntasks-per-node=1\n"
+        "option time=* --time $0\n"
+        "option mem=* --mem-per-cpu $0\n"
+        "option mem=0\n"
+        "option num_threads=* --cpus-per-task $0 --ntasks-per-node=1\n"
+        "option num_threads=1 --cpus-per-task 1\n"
+        "default gpu=0\n"
+        "option gpu=0 -p all,hpc\n"
+        "option gpu=* -p hpc --gres=gpu:$0 --time 10-00:00:00\n")
+    command, options, defaults = slurm.parse_conf(str(conf))
+    assert command == "sbatch --export=PATH --ntasks-per-node=1"
+    assert defaults == {"gpu": "0"}
+
+    # wildcard template with $0 substitution
+    flags = slurm.translate_options({"gpu": "2"}, options, defaults)
+    assert flags == ["-p", "hpc", "--gres=gpu:2", "--time", "10-00:00:00"]
+    # exact-value override beats the wildcard; default gpu=0 applies
+    flags = slurm.translate_options({"mem": "4G"}, options, defaults)
+    assert "--mem-per-cpu" in flags and "4G" in flags
+    assert "-p" in flags and "all,hpc" in flags  # from default gpu=0
+    # exact match with empty template adds nothing
+    flags = slurm.translate_options({"mem": "0", "gpu": "1"}, options, defaults)
+    assert "--mem-per-cpu" not in flags
+    assert "--gres=gpu:1" in flags
+
+
+def test_slurm_default_conf_used_when_missing():
+    slurm = _import_slurm()
+    command, options, defaults = slurm.parse_conf("/nonexistent/slurm.conf")
+    assert command.startswith("sbatch")
+    assert "gpu" in options and "*" in options["gpu"]
+
+
+def test_slurm_sbatch_submission(tmp_path):
+    """End-to-end with a fake sbatch on PATH: conf-translated flags must
+    reach the submission command and the array job must run."""
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    fake = bindir / "sbatch"
+    # fake sbatch: records argv, executes the script for each array index
+    fake.write_text(f"""#!/bin/bash
+echo "$@" >> {tmp_path}/sbatch.argv
+array=""
+script=""
+while [ $# -gt 0 ]; do
+  case "$1" in
+    --array) array="$2"; shift 2;;
+    -o) shift 2;;
+    --wait) shift;;
+    -*) if [[ "$1" == *=* ]]; then shift; else shift 2; fi;;
+    *) script="$1"; shift;;
+  esac
+done
+code=0
+if [ -n "$array" ]; then
+  lo="${{array%-*}}"; hi="${{array#*-}}"
+  for i in $(seq $lo $hi); do
+    SLURM_ARRAY_TASK_ID=$i bash "$script" || code=1
+  done
+else
+  bash "$script" || code=1
+fi
+exit $code
+""")
+    fake.chmod(0o755)
+    conf = tmp_path / "slurm.conf"
+    conf.write_text("command sbatch --export=PATH\n"
+                    "option gpu=* --gres=gpu:$0\n")
+    env = dict(os.environ, PATH=f"{bindir}:{os.environ['PATH']}")
+    log = str(tmp_path / "work" / "t.JOB.log")
+    r = subprocess.run(["python", os.path.join(REPO, "egs", "utils", "slurm.py"),
+                        "--gpu", "1", "--config", str(conf), "JOB=1:3", log,
+                        "echo", "ran", "JOB"],
+                       capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    argv = open(str(tmp_path / "sbatch.argv")).read()
+    assert "--export=PATH" in argv and "--gres=gpu:1" in argv
+    assert "--array 1-3" in argv
+    for i in (1, 2, 3):
+        content = open(str(tmp_path / "work" / f"t.{i}.log")).read()
+        assert f"ran {i}" in content and "Ended (code 0)" in content
+
+
 def test_all_recipes_syntax():
     import glob
 
