@@ -161,22 +161,42 @@ def main(argv=None) -> None:
         seed=args.seed,
     )
 
+    # multi-host: wire the processes together when a coordinator is
+    # configured (env/SLURM); no-op in the common single-host case
+    from pytorchwavenetvocoder_tpu.parallel import (
+        initialize_distributed,
+        make_global_mesh,
+        shard_global_batch,
+    )
+
+    multihost = initialize_distributed()
+
     # mesh / step
     mesh = None
-    n_devices = args.n_devices
-    avail = len(jax.devices())
-    if n_devices > avail:
-        logging.warning("requested %d devices but only %d available.",
-                        n_devices, avail)
-        n_devices = avail
-    if n_devices > 1:
+    if multihost and jax.process_count() > 1:
+        mesh = make_global_mesh()
+        n_devices = jax.device_count()
         if args.batch_size % n_devices != 0:
-            logging.warning("batch size %d not divisible by %d devices; "
-                            "falling back to single device.",
-                            args.batch_size, n_devices)
-            n_devices = 1
-        else:
-            mesh = make_mesh(n_devices)
+            logging.error("batch size %d must divide the %d-device global "
+                          "mesh.", args.batch_size, n_devices)
+            sys.exit(1)
+        logging.info("multi-host mesh: %d processes, %d devices.",
+                     jax.process_count(), n_devices)
+    else:
+        n_devices = args.n_devices
+        avail = len(jax.devices())
+        if n_devices > avail:
+            logging.warning("requested %d devices but only %d available.",
+                            n_devices, avail)
+            n_devices = avail
+        if n_devices > 1:
+            if args.batch_size % n_devices != 0:
+                logging.warning("batch size %d not divisible by %d devices; "
+                                "falling back to single device.",
+                                args.batch_size, n_devices)
+                n_devices = 1
+            else:
+                mesh = make_mesh(n_devices)
     step_fn = make_train_step(config, lr=args.lr,
                               weight_decay=args.weight_decay, mesh=mesh)
 

@@ -556,7 +556,8 @@ def _scan_generate(params: Params, config: WaveNetConfig,
 
 def pallas_mesh_generate(params: Params, config: WaveNetConfig, carry, h,
                          T0: int, max_n: int, mode: str, rng, mesh,
-                         interpret: bool = False):
+                         interpret: bool = False, quantize: bool = False,
+                         act_scales=None):
     """Decode fleet over a mesh: each chip runs the fused Pallas kernel
     on its batch shard (shard_map keeps the kernel single-chip; the RNG
     key is decorrelated per shard via the data-axis index)."""
@@ -565,24 +566,29 @@ def pallas_mesh_generate(params: Params, config: WaveNetConfig, carry, h,
 
     from pytorchwavenetvocoder_tpu.ops.ar_kernel import pallas_ar_generate
 
-    def shard_fn(params, carry, h, rng):
+    if act_scales is None:
+        act_scales = jnp.full((config.n_layers, 1), 0.05, jnp.float32)
+
+    def shard_fn(params, carry, h, rng, act_scales):
         key = jax.random.fold_in(rng, lax.axis_index("data"))
         return pallas_ar_generate(params, config, carry, h, T0,
-                                  max_n, mode, key, interpret=interpret)
+                                  max_n, mode, key, interpret=interpret,
+                                  quantize=quantize, act_scales=act_scales)
 
     return shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), (P(None, "data"), P("data"), P("data")),
-                  P("data"), P()),
+                  P("data"), P(), P()),
         out_specs=P("data"),
         check_vma=False,
-    )(params, carry, h, rng)
+    )(params, carry, h, rng, act_scales)
 
 
 def batch_fast_generate(params: Params, config: WaveNetConfig,
                         x, h, n_samples_list, mode: str = "sampling",
                         rng: jax.Array | None = None, mesh=None,
-                        impl: str = "scan", intervals: int | None = None):
+                        impl: str = "scan", intervals: int | None = None,
+                        quantize: bool = False):
     """Batched fast AR generation (reference ``batch_fast_generate``,
     `wavenet.py:397-511`).
 
@@ -601,6 +607,9 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
         (fused single-chip TPU kernel, kernel_size 2 / 128-multiple
         channels; see ops/ar_kernel.py), or "auto" (pallas when supported
         and no mesh was given).
+      quantize: pallas path only — int8 MXU matmuls with warmup-
+        calibrated static activation scales (~1.35x throughput, small
+        logit error; see ops/ar_kernel.py).
 
     Returns:
       list of np.int32 arrays, one per utterance in input order, each of
@@ -643,16 +652,24 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
         params = jax.device_put(params, repl)
 
     if use_pallas:
-        from pytorchwavenetvocoder_tpu.ops.ar_kernel import pallas_ar_generate
+        from pytorchwavenetvocoder_tpu.ops.ar_kernel import (
+            calibrate_act_scales,
+            pallas_ar_generate,
+        )
 
+        act_scales = (calibrate_act_scales(params, config, x, h)
+                      if quantize else None)
         carry = _warmup_state(params, config, x, h)
         if mesh is None:
             samples = pallas_ar_generate(params, config, carry, h,
-                                         x.shape[1], max_n, mode, rng)
+                                         x.shape[1], max_n, mode, rng,
+                                         quantize=quantize,
+                                         act_scales=act_scales)
         else:
             samples = pallas_mesh_generate(params, config, carry, h,
                                            x.shape[1], max_n, mode, rng,
-                                           mesh)
+                                           mesh, quantize=quantize,
+                                           act_scales=act_scales)
     else:
         samples = _scan_generate(params, config, x, h, max_n, mode, rng)
     samples = np.asarray(jax.device_get(samples))
@@ -749,7 +766,8 @@ class WaveNet:
         return fast_generate(self.params, self.config, x, h, n_samples, mode, rng)
 
     def batch_fast_generate(self, x, h, n_samples_list, intervals=None,
-                            mode="sampling", rng=None, mesh=None, impl="auto"):
+                            mode="sampling", rng=None, mesh=None, impl="auto",
+                            quantize=False):
         return batch_fast_generate(self.params, self.config, x, h,
                                    n_samples_list, mode, rng, mesh=mesh,
-                                   impl=impl)
+                                   impl=impl, quantize=quantize)

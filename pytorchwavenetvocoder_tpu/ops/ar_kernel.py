@@ -120,24 +120,41 @@ def weights_resident(config, B: int) -> bool:
     return pack + working < VMEM_BUDGET_BYTES
 
 
+@partial(jax.jit, static_argnames=("config",))
+def calibrate_act_scales(params, config, x, h_up):
+    """Static per-layer int8 activation scales from the warmup region.
+
+    Runs the teacher-forced forward on (a slice of) the seed and returns
+    (L, 1) f32 scales sized so the residual-stream activations map into
+    [-127, 127] with 25% headroom.  One-time cost per decode fleet.
+    """
+    from pytorchwavenetvocoder_tpu.models.wavenet import _forward_collect
+
+    streams = _forward_collect(params, config, x[:8], h_up[:8, : x.shape[1]])
+    maxes = jnp.stack([jnp.max(jnp.abs(s.astype(jnp.float32)))
+                       for s in streams[: config.n_layers]])
+    return (1.25 * jnp.maximum(maxes, 1e-3) / 127.0)[:, None]  # (L, 1)
+
+
 @partial(jax.jit, static_argnames=("config", "T0", "max_n", "mode",
                                    "interpret", "quantize"))
 def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                        mode: str, rng, interpret: bool = False,
-                       quantize: bool = False):
+                       quantize: bool = False, act_scales=None):
     """Fused AR decode. Same contract as ``_scan_from_state``.
 
     Args:
       carry: (act_buf, sample_hist (B, k-1), prev (B,)) from _warmup_state.
       h_up: (B, >= T0 + max_n, A) sample-rate aux.
-      quantize: run the three large per-layer matmuls on the int8 MXU:
-        weights int8 with per-output-channel scales, activations
-        quantized per row per step.  Opt-in.  Measured NEUTRAL-TO-SLOWER
-        at VMEM-resident shapes (the kernel is schedule-bound, and the
-        quantize/dequantize VPU work outweighs the MXU gain); its value
-        is halving weight DMA for models too large for VMEM residency
-        (streaming mode).  Adds small logit error — check fidelity with
-        eval/mcd before production use.
+      quantize: run the large per-layer matmuls on the int8 MXU (2x the
+        bf16 rate).  Weights use per-output-channel scales; activations
+        use STATIC per-layer scales calibrated from the teacher-forced
+        warmup region (gate activations are bounded by sigmoid*tanh, so
+        their scale is exactly 1).  Opt-in: measured ~1.35x decode
+        throughput at B=256 with a small logit error — fidelity-check
+        with eval/mcd before production use (a per-row dynamic-scale
+        variant was measured SLOWER than bf16: the VPU max-reduce per
+        activation outweighed the MXU gain).
     Returns:
       (B, max_n) int32 samples.
     """
@@ -222,7 +239,11 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
     else:
         seed = jnp.zeros((1, 1), jnp.int32)
 
-    def kernel(seed_ref,                          # SMEM
+    if act_scales is None:
+        act_scales = jnp.full((L, 1), 0.05, jnp.float32)  # quantize=False
+    act_scales = act_scales.astype(jnp.float32).reshape(L, 1)
+
+    def kernel(seed_ref, ascale_ref,              # SMEM
                wpack_ref, wscale_ref, h_ref, actbuf_in_ref,
                auxpack_ref, causal_ref, post1_ref, post2_ref,
                dil_b_ref, sr_b_ref, causal_b_ref, post1_b_ref, post2_b_ref,
@@ -250,14 +271,18 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                 return wpack_ref[l, :, lo:hi]
             return w_buf[l % 2, :, lo:hi]
 
-        def qdot(x_f32, l, lo, hi):
-            """int8 MXU matmul with dynamic per-row activation scales."""
-            sx = jnp.maximum(jnp.max(jnp.abs(x_f32), axis=1, keepdims=True),
-                             1e-8) / 127.0
-            xq = jnp.clip(jnp.round(x_f32 / sx), -127, 127).astype(jnp.int8)
+        def qdot(x_f32, l, lo, hi, sx):
+            """int8 MXU matmul with a STATIC activation scale ``sx`` (a
+            scalar: calibrated per layer for the residual stream, exactly
+            1/127 for the bounded gate activations).  A per-row dynamic
+            max-reduce here was measured to cost more VPU time than the
+            int8 MXU saves."""
+            xq = jnp.clip(jnp.round(x_f32 * (1.0 / sx)), -127, 127
+                          ).astype(jnp.int8)
             acc = jnp.dot(xq, w_cols(l, lo, hi),
                           preferred_element_type=jnp.int32)
-            return acc.astype(jnp.float32) * sx * wscale_ref[l, lo:hi][None, :]
+            return (acc.astype(jnp.float32)
+                    * (sx * wscale_ref[l, lo:hi])[None, :])
 
         def tap_read_dma(g, j, slot):
             # lag j*d taps of ALL G layers in dilation-group g land in
@@ -362,10 +387,12 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                 # the ring already holds the projected contribution
                 zp = tap_row(1).astype(jnp.float32)
             elif quantize:
-                zp = qdot(tap_row(1).astype(jnp.float32), l, 2 * R, 4 * R)
+                zp = qdot(tap_row(1).astype(jnp.float32), l, 2 * R, 4 * R,
+                          ascale_ref[l, 0])
                 for j in range(2, k):
                     zp = zp + qdot(tap_row(j).astype(jnp.float32),
-                                   l, j * 2 * R, (j + 1) * 2 * R)
+                                   l, j * 2 * R, (j + 1) * 2 * R,
+                                   ascale_ref[l, 0])
             else:
                 zp = jnp.dot(tap_row(1), w_cols(l, 2 * R, 4 * R),
                              preferred_element_type=jnp.float32)
@@ -403,14 +430,15 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                 # ONE double-width matmul computes this layer's current-
                 # tap term AND the projected contribution for step p + d
                 if quantize:
-                    zfull = qdot(out_buf[:], l, 0, 4 * R)
+                    zfull = qdot(out_buf[:], l, 0, 4 * R, ascale_ref[l, 0])
                 else:
                     zfull = jnp.dot(out_bf, w_cols(l, 0, 4 * R),
                                     preferred_element_type=jnp.float32)
                 z = zfull[:, : 2 * R] + zp_l
             else:
                 if quantize:
-                    z = qdot(out_buf[:], l, 0, 2 * R) + zp_l
+                    z = qdot(out_buf[:], l, 0, 2 * R,
+                             ascale_ref[l, 0]) + zp_l
                 else:
                     z = jnp.dot(out_bf, w_cols(l, 0, 2 * R),
                                 preferred_element_type=jnp.float32) + zp_l
@@ -436,7 +464,9 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                     tap_write_dma(grp, wslots[grp]).start()
 
             if quantize:
-                sr = qdot(gate, l, k * 2 * R, W) + sr_b_ref[l][None, :]
+                # gate = sigmoid*tanh is bounded by 1: exact static scale
+                sr = qdot(gate, l, k * 2 * R, W,
+                          jnp.float32(1.0 / 127.0)) + sr_b_ref[l][None, :]
             else:
                 sr = jnp.dot(g, w_cols(l, k * 2 * R, W),
                              preferred_element_type=jnp.float32) + sr_b_ref[l][None, :]
@@ -460,7 +490,12 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         if mode == "sampling":
             pltpu.prng_seed(seed_ref[0, 0] + i)
             bits = pltpu.prng_random_bits((B, Q))
-            u = bits.astype(jnp.float32) * (1.0 / 4294967296.0)
+            # bits arrive as SIGNED int32: converting directly to f32
+            # makes half the uniforms negative (clipped to a constant),
+            # which badly biases the sampler — caught by the hardware
+            # chi^2 test (tests/test_tpu_hardware.py).  Mask to 31 bits.
+            ub = jax.lax.bitwise_and(bits, np.int32(0x7FFFFFFF))
+            u = ub.astype(jnp.float32) * (1.0 / 2147483648.0)
             u = jnp.clip(u, 1e-7, 1.0 - 1e-7)
             gumbel = -jnp.log(-jnp.log(u))
             sample = jnp.argmax(logits + gumbel, axis=1).astype(jnp.int32)
@@ -540,6 +575,7 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         grid=(max_n,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),    # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # act scales (L, 1)
             wpack_spec,                               # wpack
             pl.BlockSpec((L, W), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),    # wscale
@@ -573,14 +609,14 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
             jax.ShapeDtypeStruct((max_n_pad, B_pad), jnp.int32),
             jax.ShapeDtypeStruct((total_cap, B, RW), jnp.bfloat16),
         ],
-        input_output_aliases={4: 1},
+        input_output_aliases={5: 1},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             # the default scoped-vmem budget is 16 MiB; resident weights
             # + scratch at large B need most of the chip's ~128 MiB
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(seed, wpack, wscale, h_t, act_buf, auxpack, causal_pack, post1_w,
+    )(seed, act_scales, wpack, wscale, h_t, act_buf, auxpack, causal_pack, post1_w,
       post2_w, biases["dil_b"], biases["sr_b"], biases["causal_b"],
       biases["post1_b"], biases["post2_b"], prev_init)
 

@@ -19,6 +19,11 @@ from pytorchwavenetvocoder_tpu.parallel.train import (  # noqa: F401
     make_train_step,
     masked_ce_loss,
 )
+from pytorchwavenetvocoder_tpu.parallel.distributed import (  # noqa: F401
+    initialize_distributed,
+    make_global_mesh,
+    shard_global_batch,
+)
 from pytorchwavenetvocoder_tpu.parallel.checkpoint import (  # noqa: F401
     find_latest_checkpoint,
     load_checkpoint,

@@ -61,13 +61,16 @@ def main():
     if hj.shape[1] < need:
         hj = jnp.pad(hj, ((0, 0), (0, need - hj.shape[1]), (0, 0)), mode="edge")
 
+    from pytorchwavenetvocoder_tpu.ops.ar_kernel import calibrate_act_scales
+
+    scales = calibrate_act_scales(params, config, xj, hj) if quantize else None
     carry = _warmup_state(params, config, xj, hj)
     jax.block_until_ready(carry)
 
     t0 = time.time()
     np.asarray(pallas_ar_generate(params, config, carry, hj, T0,
                                   n_samples, mode, jax.random.PRNGKey(0),
-                                  quantize=quantize))
+                                  quantize=quantize, act_scales=scales))
     compile_s = time.time() - t0
 
     times = []
@@ -75,7 +78,7 @@ def main():
         t0 = time.time()
         np.asarray(pallas_ar_generate(params, config, carry, hj, T0,
                                       n_samples, mode, jax.random.PRNGKey(k),
-                                      quantize=quantize))
+                                      quantize=quantize, act_scales=scales))
         times.append(time.time() - t0)
     el = min(times)
     print(f"B={B} mode={mode} q={quantize} n={n_samples}: {el:.4f}s "

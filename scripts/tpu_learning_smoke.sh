@@ -39,6 +39,9 @@ open("downloads/.done", "w").write("")
 print("synthetic corpus ready")
 EOF
 
+# hardware-only tests first: Pallas sampler chi^2 + int8-vs-bf16 decode
+(cd "$PRJ_ROOT" && WN_TPU_TESTS=1 python -m pytest tests/test_tpu_hardware.py -q)
+
 ./run.sh --stage 0123 --n-jobs 8
 ./run.sh --stage 4 --n-resch 128 --n-skipch 128 --dilation-depth 8 \
     --dilation-repeat 2 --iters 3000 --batch-length 8000 \
@@ -48,6 +51,13 @@ head -8 data/ev_slt/feats.scp > smoke_feats.scp
     --dilation-repeat 2 --tag smoke --feats smoke_feats.scp \
     --decode-batch-size 8
 
+# int8 decode of the SAME model for the fidelity comparison below
+PYTHONPATH=$PRJ_ROOT python -m pytorchwavenetvocoder_tpu.bin.decode \
+    --feats smoke_feats.scp --stats data/tr_slt/stats.h5 \
+    --checkpoint exp/tr_arctic_smoke/checkpoint-final.pkl \
+    --config exp/tr_arctic_smoke --outdir exp/tr_arctic_smoke/wav_int8 \
+    --batch_size 8 --quantize --verbose 1
+
 PYTHONPATH=$PRJ_ROOT python - <<'EOF'
 import os, sys
 import numpy as np
@@ -55,8 +65,9 @@ from pytorchwavenetvocoder_tpu.eval.mcd import mcd_from_wavs
 from pytorchwavenetvocoder_tpu.utils import read_wav, write_wav
 
 gen_dir, ref_dir = "exp/tr_arctic_smoke/wav_nsf", "wav_hpf/ev_slt"
+raw_dir, int8_dir = "exp/tr_arctic_smoke/wav", "exp/tr_arctic_smoke/wav_int8"
 rng = np.random.RandomState(0)
-mcds, base = [], []
+mcds, base, raw, q8 = [], [], [], []
 for f in sorted(os.listdir(gen_dir))[:8]:
     if not f.endswith(".wav"):
         continue
@@ -66,8 +77,15 @@ for f in sorted(os.listdir(gen_dir))[:8]:
     write_wav("/tmp/_noise.wav",
               (rng.randn(len(x)) * x.std()).astype(np.float32), fs)
     base.append(mcd_from_wavs(os.path.join(ref_dir, f), "/tmp/_noise.wav"))
+    raw.append(mcd_from_wavs(os.path.join(ref_dir, f),
+                             os.path.join(raw_dir, f)))
+    q8.append(mcd_from_wavs(os.path.join(ref_dir, f),
+                            os.path.join(int8_dir, f)))
 print(f"mean MCD: generated {np.mean(mcds):.2f} dB "
       f"vs white-noise baseline {np.mean(base):.2f} dB")
+print(f"int8 fidelity: bf16 raw {np.mean(raw):.2f} dB vs "
+      f"int8 raw {np.mean(q8):.2f} dB")
 assert np.mean(mcds) < 0.8 * np.mean(base), "model did not learn"
+assert np.mean(q8) < np.mean(raw) + 0.4, "int8 decode degraded MCD"
 print("LEARNING SMOKE PASSED")
 EOF

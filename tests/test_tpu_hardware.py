@@ -1,0 +1,128 @@
+"""Real-TPU hardware tests (run via ``WN_TPU_TESTS=1 pytest``; the
+default CPU test session skips them — scripts/tpu_learning_smoke.sh is
+the driver).
+
+Covers what interpret mode CANNOT: the Pallas Gumbel-max sampler's
+DISTRIBUTION (pltpu.prng_seed has no CPU lowering, and a biased sampler
+would silently wreck audio quality — VERDICT round-1 item 5), seed
+determinism, and the int8 decode path end-to-end on silicon.
+Reference sampler being replaced: `wavenet_vocoder/nets/wavenet.py:466-470`.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("WN_TPU_TESTS") != "1" or jax.default_backend() != "tpu",
+    reason="needs WN_TPU_TESTS=1 and a real TPU")
+
+
+def _kernel_cfg():
+    from pytorchwavenetvocoder_tpu.models.wavenet import WaveNetConfig
+
+    return WaveNetConfig(n_quantize=256, n_aux=28, n_resch=128,
+                         n_skipch=128, dilation_depth=3, dilation_repeat=2,
+                         kernel_size=2, upsampling_factor=0,
+                         compute_dtype="bfloat16")
+
+
+def _fixed_logit_params(cfg, logits):
+    """All-zero network: the decoder's logits equal post2's bias, so the
+    emitted samples are iid Categorical(softmax(logits))."""
+    from pytorchwavenetvocoder_tpu.models.wavenet import init_wavenet_params
+
+    params = init_wavenet_params(jax.random.PRNGKey(0), cfg)
+    params = jax.tree.map(jnp.zeros_like, params)
+    params["post2"]["b"] = jnp.asarray(logits, jnp.float32)
+    return params
+
+
+def _decode(params, cfg, B, n, rng, quantize=False):
+    from pytorchwavenetvocoder_tpu.models.wavenet import (
+        _pad_seed,
+        _warmup_state,
+    )
+    from pytorchwavenetvocoder_tpu.ops.ar_kernel import pallas_ar_generate
+
+    x = jnp.full((B, 1), 128, jnp.int32)
+    h = jnp.zeros((B, cfg.receptive_field + n, cfg.n_aux), jnp.float32)
+    xj, hj = _pad_seed(cfg, x, h)
+    carry = _warmup_state(params, cfg, xj, hj)
+    return np.asarray(pallas_ar_generate(
+        params, cfg, carry, hj, xj.shape[1], n, "sampling", rng,
+        quantize=quantize))
+
+
+def test_pallas_sampler_distribution_chi2():
+    """Gumbel-max sample frequencies must match softmax probabilities."""
+    cfg = _kernel_cfg()
+    Q = cfg.n_quantize
+    # 16 live classes spread over the range; the rest suppressed
+    logits = np.full(Q, -30.0)
+    live = np.arange(16) * 16 + 3
+    rng0 = np.random.RandomState(0)
+    logits[live] = rng0.uniform(-1.0, 1.0, 16)
+    params = _fixed_logit_params(cfg, logits)
+
+    B, n = 128, 2000
+    samples = _decode(params, cfg, B, n, jax.random.PRNGKey(7)).ravel()
+    probs = np.exp(logits - logits.max())
+    probs /= probs.sum()
+
+    counts = np.bincount(samples, minlength=Q)
+    assert counts[probs < 1e-9].sum() == 0  # suppressed classes never drawn
+
+    expected = probs[live] * samples.size
+    chi2 = float(np.sum((counts[live] - expected) ** 2 / expected))
+    # df = 15; 99.9th percentile ~ 37.7.  Allow slack for the bf16 logit
+    # path, but a biased sampler (e.g. reused PRNG streams) blows this up
+    # by orders of magnitude.
+    assert chi2 < 60.0, (chi2, counts[live], expected.astype(int))
+
+
+def test_pallas_sampler_seed_determinism_and_decorrelation():
+    cfg = _kernel_cfg()
+    logits = np.zeros(256)  # uniform: maximally sensitive to stream reuse
+    params = _fixed_logit_params(cfg, logits)
+    B, n = 8, 500
+    a = _decode(params, cfg, B, n, jax.random.PRNGKey(3))
+    b = _decode(params, cfg, B, n, jax.random.PRNGKey(3))
+    c = _decode(params, cfg, B, n, jax.random.PRNGKey(4))
+    np.testing.assert_array_equal(a, b)  # same seed -> same stream
+    assert (a != c).mean() > 0.9         # different seed -> decorrelated
+    # batch rows must not share a stream either
+    assert (a[0] != a[1]).mean() > 0.9
+
+
+def test_int8_decode_matches_bf16_argmax_mostly():
+    """Calibrated-static-scale int8 argmax decode should track the bf16
+    decode closely on a smooth model (exact match is not expected)."""
+    from pytorchwavenetvocoder_tpu.models.wavenet import (
+        WaveNetConfig,
+        batch_fast_generate,
+        init_wavenet_params,
+    )
+
+    cfg = WaveNetConfig(n_quantize=256, n_aux=28, n_resch=128, n_skipch=128,
+                        dilation_depth=4, dilation_repeat=2, kernel_size=2,
+                        upsampling_factor=0, compute_dtype="bfloat16")
+    params = init_wavenet_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(0)
+    B, n = 8, 400
+    x = np.full((B, 1), 128, np.int32)
+    h = rng.randn(B, cfg.receptive_field + n, cfg.n_aux).astype(np.float32)
+
+    ref = batch_fast_generate(params, cfg, x, h, [n] * B, mode="argmax",
+                              impl="pallas")
+    q = batch_fast_generate(params, cfg, x, h, [n] * B, mode="argmax",
+                            impl="pallas", quantize=True)
+    # mu-law class distance, not exact equality: int8 noise may shift
+    # borderline argmaxes, but trajectories must stay close
+    diff = np.abs(np.stack(ref).astype(int) - np.stack(q).astype(int))
+    assert np.median(diff) <= 2, np.median(diff)
+    assert (diff <= 8).mean() > 0.8, (diff.mean(), (diff <= 8).mean())
