@@ -158,11 +158,14 @@ def main():
             "train_batches_per_sec": round(1.0 / t_step, 3),
             "train_batch_length": bl,
         }
+        # NOTE: round 1 reported 88 ms/step, but that fetched the loss
+        # before the (async) backward+optimizer finished; 124 ms is the
+        # honest round-2 measurement and the baseline going forward.
         print(json.dumps({
             "metric": "train_step_seconds",
             "value": round(t_step, 4),
             "unit": "s/step(bl=20000)",
-            "vs_baseline": round(0.088 / t_step, 4),  # round-1 measured step
+            "vs_baseline": round(0.124 / t_step, 4),
         }))
         del state
 

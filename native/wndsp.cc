@@ -203,6 +203,14 @@ void wndsp_uels_refine(double* c, int order, const double* power_spec,
   }
 }
 
+// batched sp2mc over frames: (n_frames, n_half1) -> (n_frames, order+1)
+void wndsp_sp2mc_batch(const double* power_spec, int n_frames, int n_half1,
+                       int order, double alpha, double eps, double* out) {
+  for (int t = 0; t < n_frames; ++t)
+    wndsp_sp2mc(power_spec + (size_t)t * n_half1, n_half1, order, alpha,
+                eps, out + (size_t)t * (order + 1));
+}
+
 // mcep of a windowed frame (periodogram + sp2mc [+ UELS Newton]) -------
 void wndsp_mcep_frame(const double* frame, int n, int n_fft, int order,
                       double alpha, double eps, int refine, double* mc) {

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pytorchwavenetvocoder_tpu.dsp.cepstrum import sp2mc
+from pytorchwavenetvocoder_tpu.dsp.cepstrum import sp2mc_batch
 from pytorchwavenetvocoder_tpu.dsp.f0 import (
     convert_to_continuous_f0,
     extract_f0,
@@ -54,12 +54,7 @@ def spectral_envelope_mcep(x: np.ndarray, fs: int, shiftms: float,
     frames = _centered_frames(np.asarray(x, np.float64), fftl, hop, n_frames)
     win = np.hanning(fftl)
     spec = np.abs(np.fft.rfft(frames * win[None, :], axis=1)) ** 2
-    spec = np.maximum(spec, EPS)
-    # vectorized sp2mc over frames
-    out = np.empty((n_frames, mcep_dim + 1))
-    for i in range(n_frames):
-        out[i] = sp2mc(spec[i], mcep_dim, mcep_alpha)
-    return out
+    return sp2mc_batch(np.maximum(spec, EPS), mcep_dim, mcep_alpha)
 
 
 def band_aperiodicity(x: np.ndarray, fs: int, cont_f0: np.ndarray,
@@ -86,6 +81,7 @@ def band_aperiodicity(x: np.ndarray, fs: int, cont_f0: np.ndarray,
                       40.0, fs / 4.0)
     lags = np.clip((fs / safe_f0).astype(int), 2, frame_len - 1)
 
+    rows = np.arange(n_frames)
     for b in range(n_bands):
         lo, hi = 3000.0 * b, 3000.0 * (b + 1)
         mask = (freqs >= lo) & (freqs < hi)
@@ -93,14 +89,22 @@ def band_aperiodicity(x: np.ndarray, fs: int, cont_f0: np.ndarray,
         frames = _centered_frames(xb, frame_len, hop, n_frames)
         frames = frames - frames.mean(axis=1, keepdims=True)
         e0 = np.einsum("ij,ij->i", frames, frames) + 1e-12
-        for t in range(n_frames):
-            lag = lags[t]
-            a = frames[t, :-lag]
-            c = frames[t, lag:]
-            nac = np.dot(a, c) / np.sqrt((np.dot(a, a) + 1e-12)
-                                         * (np.dot(c, c) + 1e-12))
-            ap = np.sqrt(max(0.0, 1.0 - nac))
-            out[t, b] = 20.0 * np.log10(max(ap, 1e-3))
+        # NAC at each frame's own F0 lag, fully vectorized:
+        #   numerator  = per-frame autocorrelation at lag_t (FFT)
+        #   denominators = prefix/suffix energies at lag_t (cumsum)
+        acl = 1
+        while acl < 2 * frame_len:
+            acl *= 2
+        ac = np.fft.irfft(np.abs(np.fft.rfft(frames, n=acl, axis=1)) ** 2,
+                          n=acl, axis=1)
+        num = ac[rows, lags]
+        csum = np.cumsum(frames ** 2, axis=1)
+        total = csum[:, -1]
+        head = csum[rows, frame_len - lags - 1]         # dot(a, a)
+        tail = total - csum[rows, lags - 1]             # dot(c, c)
+        nac = num / np.sqrt((head + 1e-12) * (tail + 1e-12))
+        ap = np.sqrt(np.maximum(0.0, 1.0 - nac))
+        out[:, b] = 20.0 * np.log10(np.maximum(ap, 1e-3))
         out[:, b] = np.where(e0 > 1e-10 * e0.max(), out[:, b], 0.0)
     return np.clip(out, -60.0, 0.0)
 

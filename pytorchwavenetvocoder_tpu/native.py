@@ -55,6 +55,7 @@ def get_lib():
     lib.wndsp_mc2b.argtypes = [d, c_i, c_d, d]
     lib.wndsp_b2mc.argtypes = [d, c_i, c_d, d]
     lib.wndsp_sp2mc.argtypes = [d, c_i, c_i, c_d, c_d, d]
+    lib.wndsp_sp2mc_batch.argtypes = [d, c_i, c_i, c_i, c_d, c_d, d]
     lib.wndsp_mcep_frame.argtypes = [d, c_i, c_i, c_i, c_d, c_d, c_i, d]
     lib.wndsp_stft_mcep.argtypes = [d, c_i, d, c_i, c_i, c_i, c_d, c_d,
                                     c_i, d]
@@ -114,6 +115,16 @@ def sp2mc(power_spec: np.ndarray, order: int, alpha: float,
     ps = np.ascontiguousarray(power_spec, np.float64)
     out = np.empty(order + 1, np.float64)
     lib.wndsp_sp2mc(_dp(ps), len(ps), order, alpha, eps, _dp(out))
+    return out
+
+
+def sp2mc_batch(power_spec: np.ndarray, order: int, alpha: float,
+                eps: float = 1e-10) -> np.ndarray:
+    lib = get_lib()
+    ps = np.ascontiguousarray(power_spec, np.float64)
+    out = np.empty((ps.shape[0], order + 1), np.float64)
+    lib.wndsp_sp2mc_batch(_dp(ps), ps.shape[0], ps.shape[1], order, alpha,
+                          eps, _dp(out))
     return out
 
 
