@@ -47,6 +47,9 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--quantize", default=False, action="store_true",
                         help="int8 MXU decode (pallas path; ~1.35x faster, "
                              "small logit error — validate with eval/mcd)")
+    parser.add_argument("--intervals", default=None, type=int,
+                        help="log generation progress every this many "
+                             "samples (scan impl; chunked decode)")
     parser.add_argument("--seed", default=1, type=int)
     parser.add_argument("--verbose", default=1, type=int)
     return parser
@@ -134,7 +137,8 @@ def main(argv=None) -> None:
         start = time.time()
         samples_list = batch_fast_generate(
             params, config, x, h, list(n_samples), mode=args.mode,
-            rng=key, mesh=mesh, impl=args.impl, quantize=args.quantize)
+            rng=key, mesh=mesh, impl=args.impl, quantize=args.quantize,
+            intervals=args.intervals)
         elapsed = time.time() - start
         n_gen = sum(int(n) for n in n_samples[:B])
         logging.info("batch of %d utts: %d samples in %.2f s "

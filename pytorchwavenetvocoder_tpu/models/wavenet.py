@@ -417,22 +417,14 @@ def _warmup_state(params: Params, config: WaveNetConfig,
 
 
 @partial(jax.jit, static_argnames=("config", "T0", "max_n", "mode"))
-def _scan_from_state(params: Params, config: WaveNetConfig, carry,
-                     h_up: jnp.ndarray, T0: int, max_n: int, mode: str,
-                     rng: jax.Array) -> jnp.ndarray:
-    """Steady-state AR scan from a packed carry (see ``_warmup_state``).
-
-    Args:
-      carry: (act_buf, sample_hist, prev) from ``_warmup_state``.
-      h_up: (B, >= T0 + max_n, A) sample-rate aux features.
-      T0: seed length (static; first generated sample has index T0).
-      max_n: number of samples to generate (static).
-      mode: "sampling" | "argmax" (static).
-      rng: PRNG key (used in sampling mode).
-
-    Returns:
-      (B, max_n) int32 generated mu-law classes.
-    """
+def _scan_chunk(params: Params, config: WaveNetConfig, carry,
+                h_up: jnp.ndarray, T0: int, max_n: int, mode: str,
+                rng: jax.Array, i0=0):
+    """Like ``_scan_from_state`` but returns ``(carry, samples)`` so
+    generation can proceed in chunks (``intervals`` progress logging)
+    with output identical to one fused scan: ``i0`` is the absolute
+    step offset (dynamic — one compile serves every chunk), keeping the
+    per-step PRNG folds and ring positions aligned."""
     c = config
     act_buf0, sample_hist0, prev0 = carry
     B = prev0.shape[0]
@@ -540,18 +532,65 @@ def _scan_from_state(params: Params, config: WaveNetConfig, carry,
         return (act_buf, sample_hist, sample), sample
 
     init = (act_buf0, sample_hist0, prev0)
-    _, samples = lax.scan(step, init, jnp.arange(max_n))
-    return jnp.transpose(samples, (1, 0))  # (B, max_n)
+    carry_out, samples = lax.scan(step, init,
+                                  jnp.arange(max_n) + jnp.asarray(i0))
+    return carry_out, jnp.transpose(samples, (1, 0))  # (B, max_n)
+
+
+@partial(jax.jit, static_argnames=("config", "T0", "max_n", "mode"))
+def _scan_from_state(params: Params, config: WaveNetConfig, carry,
+                     h_up: jnp.ndarray, T0: int, max_n: int, mode: str,
+                     rng: jax.Array) -> jnp.ndarray:
+    """Steady-state AR scan from a packed carry (see ``_warmup_state``).
+
+    Args:
+      carry: (act_buf, sample_hist, prev) from ``_warmup_state``.
+      h_up: (B, >= T0 + max_n, A) sample-rate aux features.
+      T0: seed length (static; first generated sample has index T0).
+      max_n: number of samples to generate (static).
+      mode: "sampling" | "argmax" (static).
+      rng: PRNG key (used in sampling mode).
+
+    Returns:
+      (B, max_n) int32 generated mu-law classes.
+    """
+    return _scan_chunk(params, config, carry, h_up, T0, max_n, mode, rng)[1]
 
 
 def _scan_generate(params: Params, config: WaveNetConfig,
                    x: jnp.ndarray, h_up: jnp.ndarray,
-                   max_n: int, mode: str, rng: jax.Array) -> jnp.ndarray:
+                   max_n: int, mode: str, rng: jax.Array,
+                   intervals: int | None = None) -> jnp.ndarray:
     """Full AR decode: warm-up + steady-state scan (two jit units so the
-    one-time warm-up doesn't inflate or OOM the per-sample path)."""
+    one-time warm-up doesn't inflate or OOM the per-sample path).
+
+    ``intervals`` (reference `wavenet.py:479-484`) chunks the scan and
+    logs progress + sec/sample every that many samples; the emitted
+    samples are identical to the fused call (same PRNG stream).
+    """
+    import logging
+    import time
+
     carry = _warmup_state(params, config, x, h_up)
-    return _scan_from_state(params, config, carry, h_up, x.shape[1],
-                            max_n, mode, rng)
+    T0 = x.shape[1]
+    if not intervals or intervals >= max_n:
+        return _scan_from_state(params, config, carry, h_up, T0,
+                                max_n, mode, rng)
+    # equal-size chunks (one compiled executable); the remainder chunk
+    # compiles at most one extra size
+    gen, outs = 0, []
+    t_start = time.time()
+    while gen < max_n:
+        n_c = min(intervals, max_n - gen)
+        carry, s = _scan_chunk(params, config, carry, h_up, T0, n_c,
+                               mode, rng, i0=gen)
+        jax.block_until_ready(s)
+        outs.append(s)
+        gen += n_c
+        el = time.time() - t_start
+        logging.info("%d/%d samples generated (%.6f sec / sample)",
+                     gen, max_n, el / gen)
+    return jnp.concatenate(outs, axis=1)
 
 
 def pallas_mesh_generate(params: Params, config: WaveNetConfig, carry, h,
@@ -671,7 +710,8 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
                                            mesh, quantize=quantize,
                                            act_scales=act_scales)
     else:
-        samples = _scan_generate(params, config, x, h, max_n, mode, rng)
+        samples = _scan_generate(params, config, x, h, max_n, mode, rng,
+                                 intervals=intervals)
     samples = np.asarray(jax.device_get(samples))
     return [samples[b, : int(n)] for b, n in enumerate(n_samples_list)]
 
@@ -681,11 +721,12 @@ def fast_generate(params: Params, config: WaveNetConfig, x, h, n_samples: int,
                   intervals: int | None = None):
     """Single-utterance fast AR generation (reference `wavenet.py:309-395`).
 
-    ``intervals`` is accepted for reference API compatibility; the whole
-    loop is one device dispatch, so there is no per-sample log to emit —
-    throughput is reported by the decode CLI per batch instead.
+    ``intervals`` chunks the scan decode and logs progress/sec-per-sample
+    every that many samples (reference `wavenet.py:479-484`); the
+    samples are identical to the fused call.
     """
-    out = batch_fast_generate(params, config, x, h, [n_samples], mode, rng)
+    out = batch_fast_generate(params, config, x, h, [n_samples], mode, rng,
+                              intervals=intervals)
     return out[0]
 
 
@@ -763,11 +804,13 @@ class WaveNet:
 
     def fast_generate(self, x, h, n_samples, intervals=None, mode="sampling",
                       rng=None):
-        return fast_generate(self.params, self.config, x, h, n_samples, mode, rng)
+        return fast_generate(self.params, self.config, x, h, n_samples, mode,
+                             rng, intervals=intervals)
 
     def batch_fast_generate(self, x, h, n_samples_list, intervals=None,
                             mode="sampling", rng=None, mesh=None, impl="auto",
                             quantize=False):
         return batch_fast_generate(self.params, self.config, x, h,
                                    n_samples_list, mode, rng, mesh=mesh,
-                                   impl=impl, quantize=quantize)
+                                   impl=impl, quantize=quantize,
+                                   intervals=intervals)

@@ -195,3 +195,21 @@ def test_wavenet_class_api():
     x, h = make_inputs(net.config, B=1, T=50)
     y = net(x, h)
     assert y.shape == (1, 50, 256)
+
+
+def test_intervals_chunked_decode_identical():
+    """intervals-chunked generation must emit EXACTLY the fused stream
+    (same ring state threading, same per-step PRNG folds) while logging
+    progress (reference wavenet.py:479-484)."""
+    cfg = tiny_config()
+    params = init_wavenet_params(jax.random.PRNGKey(2), cfg)
+    T = cfg.receptive_field
+    x, h = make_inputs(cfg, B=2, T=T + 50, seed=3)
+    for mode in ("argmax", "sampling"):
+        fused = batch_fast_generate(params, cfg, x[:, :T], h, [50, 50],
+                                    mode=mode, rng=jax.random.PRNGKey(5))
+        chunked = batch_fast_generate(params, cfg, x[:, :T], h, [50, 50],
+                                      mode=mode, rng=jax.random.PRNGKey(5),
+                                      intervals=13)
+        for a, b in zip(fused, chunked):
+            np.testing.assert_array_equal(a, b)
