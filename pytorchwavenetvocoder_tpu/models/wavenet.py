@@ -222,28 +222,31 @@ def causal_conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
 
 
 def input_embed(x_ids: jnp.ndarray, params: Params, config: WaveNetConfig) -> jnp.ndarray:
-    """One-hot + causal k-conv on class ids, as k embedding gathers.
+    """One-hot + causal k-conv on class ids as shifted one-hot MATMULS.
 
     Equivalent of reference ``_preprocess`` (`wavenet.py:513-516`:
-    OneHot -> CausalConv1d(Q, R, k)); the one-hot matmul is a table
-    lookup.  Ids are wrapped mod Q (defensive ``x % depth``,
-    `wavenet.py:88`).  Contributions from taps reaching before t=0 are
-    zero (one-hot of nothing).
+    OneHot -> CausalConv1d(Q, R, k)).  A row gather ``w[ids]`` is exact
+    but lowers to a slow serial gather on TPU (~30 ms of the training
+    forward at batch_length 20000); the one-hot matmul computes the
+    identical values (one weight row per output — no accumulation) on
+    the MXU.  Ids are wrapped mod Q (defensive ``x % depth``,
+    `wavenet.py:88`); taps reaching before t=0 contribute zero (the
+    shifted one-hot rows are all-zero there).
     """
     w = params["causal"]["w"].astype(config.dtype)
     b = params["causal"]["b"]
     k = w.shape[0]
-    ids = x_ids % config.n_quantize
+    Q = config.n_quantize
+    ids = x_ids % Q
     T = ids.shape[1]
-    y = w[k - 1][ids]
+    onehot = jax.nn.one_hot(ids, Q, dtype=config.dtype)       # (B, T, Q)
+    y = _dot(onehot, w[k - 1])
     for j in range(k - 1):
         shift = k - 1 - j
         if shift >= T:
             continue
-        shifted = jnp.pad(ids[:, : T - shift], ((0, 0), (shift, 0)))
-        emb = w[j][shifted]
-        mask = (jnp.arange(T) >= shift).astype(emb.dtype)
-        y = y + emb * mask[None, :, None]
+        oh_s = jnp.pad(onehot[:, : T - shift], ((0, 0), (shift, 0), (0, 0)))
+        y = y + _dot(oh_s, w[j])
     return (y + b).astype(config.acc_dtype)
 
 

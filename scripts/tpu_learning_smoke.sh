@@ -52,13 +52,13 @@ head -8 data/ev_slt/feats.scp > smoke_feats.scp
     --decode-batch-size 8
 
 # int8 decode of the SAME model for the fidelity comparison below
-PYTHONPATH=$PRJ_ROOT python -m pytorchwavenetvocoder_tpu.bin.decode \
+PYTHONPATH=$PRJ_ROOT:${PYTHONPATH:-} python -m pytorchwavenetvocoder_tpu.bin.decode \
     --feats smoke_feats.scp --stats data/tr_slt/stats.h5 \
     --checkpoint exp/tr_arctic_smoke/checkpoint-final.pkl \
     --config exp/tr_arctic_smoke --outdir exp/tr_arctic_smoke/wav_int8 \
     --batch_size 8 --quantize --verbose 1
 
-PYTHONPATH=$PRJ_ROOT python - <<'EOF'
+PYTHONPATH=$PRJ_ROOT:${PYTHONPATH:-} python - <<'EOF'
 import os, sys
 import numpy as np
 from pytorchwavenetvocoder_tpu.eval.mcd import mcd_from_wavs
