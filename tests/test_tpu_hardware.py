@@ -99,6 +99,43 @@ def test_pallas_sampler_seed_determinism_and_decorrelation():
     assert (a[0] != a[1]).mean() > 0.9
 
 
+def test_kernel3_matches_scan_on_hardware():
+    """kernel_size=3 (ljspeech configs) on silicon: the round-1 review
+    found a DMA-semaphore sizing bug interpret mode could not catch, so
+    the k=3 path must be exercised on the real chip.  bf16 rounding
+    differs slightly between the scan and Pallas implementations, so
+    assert near-identical argmax trajectories, not bit equality."""
+    from pytorchwavenetvocoder_tpu.models.wavenet import (
+        WaveNetConfig,
+        _pad_seed,
+        _scan_from_state,
+        _warmup_state,
+        init_wavenet_params,
+    )
+    from pytorchwavenetvocoder_tpu.ops.ar_kernel import pallas_ar_generate
+
+    cfg = WaveNetConfig(n_quantize=256, n_aux=28, n_resch=128, n_skipch=128,
+                        dilation_depth=4, dilation_repeat=2, kernel_size=3,
+                        upsampling_factor=0, compute_dtype="bfloat16")
+    params = init_wavenet_params(jax.random.PRNGKey(3), cfg)
+    rng = np.random.RandomState(0)
+    B, n = 8, 300
+    T = cfg.receptive_field
+    x = rng.randint(0, 256, (B, T)).astype(np.int32)
+    h = rng.randn(B, T + n, cfg.n_aux).astype(np.float32)
+    xj, hj = _pad_seed(cfg, jnp.asarray(x), jnp.asarray(h, jnp.float32))
+    T0 = xj.shape[1]
+    carry = _warmup_state(params, cfg, xj, hj)
+    ref = np.asarray(_scan_from_state(params, cfg, carry, hj, T0, n,
+                                      "argmax", jax.random.PRNGKey(0)))
+    out = np.asarray(pallas_ar_generate(params, cfg, carry, hj, T0, n,
+                                        "argmax", jax.random.PRNGKey(0)))
+    agree = (ref == out).mean()
+    dist = np.abs(ref.astype(int) - out.astype(int))
+    assert agree > 0.95 or np.percentile(dist, 95) <= 2, (
+        agree, np.percentile(dist, 95))
+
+
 def test_int8_decode_matches_bf16_argmax_mostly():
     """Calibrated-static-scale int8 argmax decode should track the bf16
     decode closely on a smooth model (exact match is not expected)."""
