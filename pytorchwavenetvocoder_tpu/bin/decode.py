@@ -47,9 +47,11 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--quantize", default=False, action="store_true",
                         help="int8 MXU decode (pallas path; ~1.35x faster, "
                              "small logit error — validate with eval/mcd)")
-    parser.add_argument("--intervals", default=None, type=int,
+    parser.add_argument("--intervals", default=1000, type=int,
                         help="log generation progress every this many "
-                             "samples (scan impl; chunked decode)")
+                             "samples (scan impl chunks the decode; the "
+                             "fused pallas impl logs per batch). "
+                             "Reference default kept (decode.py:198)")
     parser.add_argument("--seed", default=1, type=int)
     parser.add_argument("--verbose", default=1, type=int)
     return parser

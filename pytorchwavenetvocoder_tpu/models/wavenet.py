@@ -397,8 +397,9 @@ def _warmup_state(params: Params, config: WaveNetConfig,
     # O(B * T0 * channels) and blow HBM for big decode fleets otherwise.
     # lax.map forces the chunks to run SEQUENTIALLY (a python loop has no
     # data dependence between chunks, so XLA overlaps them and the temp
-    # memory multiplies right back)
-    chunk = 64
+    # memory multiplies right back).  The chunk adapts to the receptive
+    # field: ~64 rows at arctic's T0=3070, 32 at ljspeech's 6139.
+    chunk = int(max(8, min(64, (200_000 // max(T0, 1)) // 8 * 8)))
     if B <= chunk:
         act_buf = fill(x, h_up[:, :T0])
     elif B % chunk == 0:

@@ -104,12 +104,16 @@ def _pack_weights(params, config):
     return wpack, aux, causal_pack, post1_w, post2_w, biases
 
 
-def weights_resident(config, B: int) -> bool:
-    """Static decision: does the weight pack + working set fit VMEM?"""
+def weights_resident(config, B: int, quantize: bool = False) -> bool:
+    """Static decision: does the weight pack + working set fit VMEM?
+
+    int8 quantization halves the pack — e.g. the ljspeech kernel-3
+    flagship (118 MB bf16, streaming) becomes VMEM-resident at 59 MB.
+    """
     c = config
     R, S, L = c.n_resch, c.n_skipch, c.n_layers
     W = c.kernel_size * 2 * R + S + R
-    pack = L * R * W * 2
+    pack = L * R * W * (1 if quantize else 2)
     # kernel_size 2 rings are projection-forwarded: staging rows are
     # (B, 2R) instead of (k-1) x (B, R)
     tap_rows = 2 * R if c.kernel_size == 2 else (c.kernel_size - 1) * R
@@ -168,7 +172,7 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
     offsets = np.concatenate([[0], np.cumsum(caps[:-1])]).astype(int)
     offsets = [int(o) for o in offsets]
     W = k * 2 * R + S + R
-    resident = weights_resident(c, B)
+    resident = weights_resident(c, B, quantize)
     # kernel_size 2: projection-forwarded rings — slots hold the (B, 2R)
     # gate contribution out_l(p) @ w_past_l (computed at write time fused
     # with the current-tap matmul into one (B,R)@(R,4R) op); the read
