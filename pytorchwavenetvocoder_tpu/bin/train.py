@@ -71,6 +71,12 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--compute_dtype", default="bfloat16",
                         choices=["float32", "bfloat16"],
                         help="matmul dtype (accumulation stays f32)")
+    parser.add_argument("--remat", default="auto",
+                        choices=["auto", "true", "false"],
+                        help="checkpoint residual layers in the backward "
+                             "(needed to fit HBM at large per-device "
+                             "batches; 'auto' enables it when batch_size"
+                             " * batch_length > 30000)")
     parser.add_argument("--profile_dir", default=None, type=str,
                         help="write a jax.profiler trace of iterations "
                              "10..20 to this directory (for xprof/"
@@ -197,8 +203,16 @@ def main(argv=None) -> None:
                 n_devices = 1
             else:
                 mesh = make_mesh(n_devices)
+    if args.remat == "auto":
+        per_dev = args.batch_size * max(args.batch_length, 1)
+        remat = per_dev // max(n_devices, 1) > 30000
+    else:
+        remat = args.remat == "true"
+    if remat:
+        logging.info("remat enabled (large per-device batch).")
     step_fn = make_train_step(config, lr=args.lr,
-                              weight_decay=args.weight_decay, mesh=mesh)
+                              weight_decay=args.weight_decay, mesh=mesh,
+                              remat=remat)
 
     state = create_train_state(jax.random.PRNGKey(args.seed), config,
                                lr=args.lr, weight_decay=args.weight_decay)

@@ -258,12 +258,18 @@ def _gate(z: jnp.ndarray, za: jnp.ndarray, R: int) -> jnp.ndarray:
 
 
 def wavenet_forward(params: Params, config: WaveNetConfig,
-                    x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+                    x: jnp.ndarray, h: jnp.ndarray,
+                    remat: bool = False) -> jnp.ndarray:
     """Training forward: (B, T) ids + (B, T', A) aux -> (B, T, Q) logits.
 
     Mirrors reference ``forward`` (`wavenet.py:212-241`).  If
     ``upsampling_factor > 0``, ``h`` is frame-rate and gets upsampled here;
     otherwise it must already be sample-rate with T' == T.
+
+    ``remat=True`` checkpoints each residual layer (rematerialized in the
+    backward): the f32 gate intermediates are ~360 MB per layer per 4
+    batch rows at batch_length 20000, so large-batch training OOMs HBM
+    without it.  ~15% step-time cost; identical gradients.
     """
     c = config
     R = c.n_resch
@@ -283,14 +289,24 @@ def wavenet_forward(params: Params, config: WaveNetConfig,
     res_w = params["res"]["w"].astype(dt)
     res_b = params["res"]["b"]
 
+    def layer_fn(d, out, skip_sum, h, lw):
+        z = causal_conv(out.astype(dt), lw["dil_w"], lw["dil_b"], d)
+        za = _dot(h, lw["aux_w"]) + lw["aux_b"]
+        g = _gate(z, za, R).astype(dt)
+        skip = _dot(g, lw["skip_w"]) + lw["skip_b"]
+        skip_sum = skip if skip_sum is None else skip_sum + skip
+        out = _dot(g, lw["res_w"]) + lw["res_b"] + out
+        return out, skip_sum
+
     skip_sum = None
     for l, d in enumerate(c.dilations):
-        z = causal_conv(out.astype(dt), dil_w[l], dil_b[l], d)
-        za = _dot(h, aux_w[l]) + aux_b[l]
-        g = _gate(z, za, R).astype(dt)
-        skip = _dot(g, skip_w[l]) + skip_b[l]
-        skip_sum = skip if skip_sum is None else skip_sum + skip
-        out = _dot(g, res_w[l]) + res_b[l] + out
+        lw = dict(dil_w=dil_w[l], dil_b=dil_b[l], aux_w=aux_w[l],
+                  aux_b=aux_b[l], skip_w=skip_w[l], skip_b=skip_b[l],
+                  res_w=res_w[l], res_b=res_b[l])
+        fn = partial(layer_fn, d)
+        if remat and skip_sum is not None:
+            fn = jax.checkpoint(fn)
+        out, skip_sum = fn(out, skip_sum, h, lw)
 
     post = jax.nn.relu(skip_sum)
     post = jax.nn.relu(_dot(post.astype(dt), params["post1"]["w"].astype(dt))

@@ -78,19 +78,23 @@ def masked_ce_loss(logits: jnp.ndarray, targets: jnp.ndarray,
 
 def make_train_step(config: WaveNetConfig, lr: float = 1e-4,
                     weight_decay: float = 0.0,
-                    mesh=None, donate: bool = True) -> Callable:
+                    mesh=None, donate: bool = True,
+                    remat: bool = False) -> Callable:
     """Build the jitted (and optionally mesh-sharded) train step.
 
     Returns ``step_fn(state, batch_x, batch_h, batch_t) -> (state, loss)``.
     With a mesh, batches are expected sharded over the ``data`` axis and
     the state replicated; XLA emits the gradient psum over ICI.
+    ``remat`` checkpoints each residual layer — required to fit HBM at
+    per-device batches beyond ~1x20000 samples (see wavenet_forward).
     """
     tx = make_optimizer(lr, weight_decay)
     rf = config.receptive_field
 
     def step_fn(state: TrainState, batch_x, batch_h, batch_t):
         def loss_fn(params):
-            logits = wavenet_forward(params, config, batch_x, batch_h)
+            logits = wavenet_forward(params, config, batch_x, batch_h,
+                                     remat=remat)
             return masked_ce_loss(logits, batch_t, rf)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
