@@ -27,15 +27,13 @@ import time
 
 def parse_argv(argv):
     opts = {"gpu": 0, "num_threads": 1, "max_jobs_run": 0, "mem": None,
-            "config": None}
+            "config": None, "time": None}
     i = 0
     while i < len(argv):
         a = argv[i]
         if a in ("--gpu", "--mem", "--num-threads", "--num_threads",
                  "--max-jobs-run", "--max_jobs_run", "--config", "--time"):
             key = a.lstrip("-").replace("-", "_")
-            if key == "time":
-                key = "mem"  # accepted, ignored
             opts[key] = argv[i + 1]
             i += 2
         else:

@@ -10,19 +10,30 @@ kernel runs the WHOLE sample loop on-core:
   scratch carries the decoder state (residual vector, previous sample
   ids, skip accumulator) across samples with zero host round-trips;
 - **weights live resident in VMEM** (v5e has ~128 MB; the flagship
-  arctic-sd pack is 86 MB bf16) so per-sample HBM traffic collapses to
-  the ring-buffer taps — the decoder becomes compute-bound.  Models
-  whose pack exceeds the VMEM budget fall back to streaming the layer
-  pack HBM->VMEM with a double-buffered DMA one layer ahead;
-- the fast-WaveNet ring buffers stay in HBM; for kernel_size 2 the read
-  and write slot of layer l at position p coincide (cap_l == d_l and
-  (p - d_l) % d_l == p % d_l), so each layer is ONE slice DMA in and ONE
-  out, staged through the same VMEM buffer;
+  arctic-sd pack is 86 MB bf16 / 43 MB int8) so per-sample HBM traffic
+  collapses to the ring-buffer taps — the decoder becomes MXU-
+  throughput-bound (~90% of the chip's measured 160-TFLOPs dependent-
+  matmul rate at fleet 256).  Models whose pack exceeds the VMEM budget
+  fall back to streaming the layer pack HBM->VMEM one layer ahead;
+- the fast-WaveNet ring buffers stay in HBM, **dilation-grouped**: the
+  G layers sharing a dilation read/write the same slot index, so their
+  taps move in ONE (G, B, *) DMA — 20 DMA ops/step for the flagship.
+  For kernel_size 2 the rings are **projection-forwarded**: each slot
+  holds out_l(p) @ w_past_l, computed at write time fused with the
+  current-tap matmul into one (B,R)@(R,4R) op, making the read side a
+  pure add.  The read and write slot coincide ((p-d) mod d == p mod d);
+- hidden latencies: the aux column is prefetched one step ahead
+  (double-buffered), sample flushes are double-buffered 8-row blocks
+  waited only when their half is reused, and ring-write completions are
+  waited in the NEXT step's prologue;
 - aux conditioning, the one-hot input conv (a one-hot matmul on the
-  MXU), the ReLU/1x1 post stack, and Gumbel-max sampling (pltpu PRNG)
-  all happen in-kernel.
+  MXU), the ReLU/1x1 post stack, and Gumbel-max sampling (pltpu PRNG,
+  sign-bit-masked uniforms) all happen in-kernel;
+- opt-in **int8 MXU** path (``quantize=True``): per-output-channel
+  weight scales + per-layer static activation scales calibrated from
+  the warmup forward; ~1.35x decode throughput at equal MCD.
 
-Restrictions: kernel_size == 2, channel counts multiples of 128,
+Restrictions: kernel_size in (2, 3), channel counts multiples of 128,
 n_quantize 256.  Other configurations use the lax.scan path.
 """
 
