@@ -245,7 +245,15 @@ def main(argv=None) -> None:
             jax.profiler.stop_trace()
             logging.info("profiler trace written to %s", args.profile_dir)
         (batch_x, batch_h), batch_t = next(generator)
-        if mesh is not None:
+        if mesh is not None and multihost and jax.process_count() > 1:
+            # every process runs the same seeded generator; each one
+            # contributes ITS rows of the global batch to the mesh
+            pid, np_ = jax.process_index(), jax.process_count()
+            rows = batch_x.shape[0] // np_
+            sl = slice(pid * rows, (pid + 1) * rows)
+            batch_x, batch_h, batch_t = shard_global_batch(
+                mesh, (batch_x[sl], batch_h[sl], batch_t[sl]))
+        elif mesh is not None:
             batch_x, batch_h, batch_t = shard_batch(
                 mesh, (batch_x, batch_h, batch_t))
         state, loss = step_fn(state, batch_x, batch_h, batch_t)
@@ -268,10 +276,12 @@ def main(argv=None) -> None:
             n_in_interval = 0
 
         if (i + 1) % args.checkpoint_interval == 0:
-            save_checkpoint(args.expdir, state, iterations=i + 1)
+            if jax.process_index() == 0:  # params replicated: one writer
+                save_checkpoint(args.expdir, state, iterations=i + 1)
 
-    save_checkpoint(args.expdir, state, final=True)
-    logging.info("final checkpoint created.")
+    if jax.process_index() == 0:
+        save_checkpoint(args.expdir, state, final=True)
+        logging.info("final checkpoint created.")
 
 
 if __name__ == "__main__":

@@ -40,6 +40,15 @@ def initialize_distributed(coordinator_address: str | None = None,
                   or env.get("OMPI_COMM_WORLD_SIZE", "1") not in ("", "1"))
     if not configured:
         return False
+    # explicit JAX_* env vars take effect even on jax versions whose
+    # initialize() only autodetects cluster environments (SLURM/MPI)
+    if coordinator_address is None:
+        coordinator_address = (env.get("JAX_COORDINATOR_ADDRESS")
+                               or env.get("COORDINATOR_ADDRESS"))
+    if num_processes is None and env.get("JAX_NUM_PROCESSES"):
+        num_processes = int(env["JAX_NUM_PROCESSES"])
+    if process_id is None and env.get("JAX_PROCESS_ID"):
+        process_id = int(env["JAX_PROCESS_ID"])
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)
