@@ -71,7 +71,6 @@ def main(argv=None) -> None:
     )
     from pytorchwavenetvocoder_tpu.ops.mulaw import decode_mu_law, encode_mu_law
     from pytorchwavenetvocoder_tpu.ops.scaler import StandardScaler
-    from pytorchwavenetvocoder_tpu.parallel import make_mesh
     from pytorchwavenetvocoder_tpu.parallel.checkpoint import (
         load_checkpoint,
         load_model_conf,
@@ -103,10 +102,25 @@ def main(argv=None) -> None:
         feat_list = read_txt(args.feats)
     logging.info("number of utterances = %d", len(feat_list))
 
+    # multi-host: each process decodes its shard of the file list with
+    # its local devices — the AR fleets are independent, so no
+    # collectives are needed (the reference's one-process-per-GPU
+    # fan-out, decode.py:261-262, at host granularity)
+    from pytorchwavenetvocoder_tpu.parallel import initialize_distributed
+
+    if initialize_distributed() and jax.process_count() > 1:
+        pid, np_ = jax.process_index(), jax.process_count()
+        feat_list = [f for i, f in enumerate(feat_list) if i % np_ == pid]
+        logging.info("process %d/%d decodes %d utterances.",
+                     pid, np_, len(feat_list))
+
     mesh = None
-    n_devices = min(args.n_devices, len(jax.devices()))
+    n_devices = min(args.n_devices, jax.local_device_count())
     if n_devices > 1:
-        mesh = make_mesh(n_devices)
+        from jax.sharding import Mesh
+
+        local = np.asarray(jax.local_devices()[:n_devices]).reshape(-1, 1)
+        mesh = Mesh(local, axis_names=("data", "model"))
 
     upsampling_factor = conf.get("upsampling_factor", 80)
     use_upsampling_layer = conf.get("use_upsampling_layer", True)
