@@ -51,13 +51,22 @@ option gpu=* --gres=gpu:$0 --time 10-00:00:00
 """
 
 
-def parse_conf(path: str | None):
+def parse_conf(path: str | None, explicit: bool = False):
     """Parse a slurm.conf into (command, {key: {value-or-'*': template}},
-    {key: default})."""
+    {key: default}).
+
+    An EXPLICITLY passed path that does not exist is an error (matching
+    slurm.pl, which dies on an unreadable --config) — silently falling
+    back to the built-in defaults would submit with the wrong partition/
+    resource flags.  The implicit default path falls back quietly.
+    """
     if path and os.path.isfile(path):
         with open(path) as f:
             text = f.read()
     else:
+        if explicit:
+            sys.stderr.write(f"slurm.py: config file not found: {path}\n")
+            sys.exit(1)
         text = DEFAULT_CONF
     command = "sbatch --export=PATH"
     options: dict[str, dict[str, str]] = {}
@@ -108,8 +117,14 @@ def translate_options(opts: dict, conf_options: dict, defaults: dict) -> list[st
 
 
 def submit_sbatch(command: str, sched_flags: list[str], job, log_file: str,
-                  cmd: list[str]) -> int:
-    """Submit through sbatch --wait; returns the exit code."""
+                  cmd: list[str], max_jobs_run: int = 0,
+                  extra_env: dict | None = None) -> int:
+    """Submit through sbatch --wait; returns the exit code.
+
+    ``max_jobs_run`` becomes the slurm array throttle (``--array lo-hi%N``,
+    slurm.pl's mapping); ``extra_env`` is exported inside the batch
+    script (sbatch --export=PATH strips the submitter's environment).
+    """
     base = command.split()
     cmd_str = " ".join(cmd)
     name, lo, hi = job if job else ("JOB", 1, 1)
@@ -121,9 +136,11 @@ def submit_sbatch(command: str, sched_flags: list[str], job, log_file: str,
                      log_file) if job else log_file
     sub_cmd = re.sub(r"\b%s\b" % re.escape(name), "$SLURM_ARRAY_TASK_ID",
                      cmd_str) if job else cmd_str
+    env_lines = [f"export {k}={v}" for k, v in (extra_env or {}).items()]
     script = "\n".join([
         "#!/usr/bin/env bash",
         "# Auto-generated by slurm.py",
+        *env_lines,
         'echo "# ' + sub_cmd.replace('"', '\\"') + '" > ' + sub_log,
         'echo "# Started at $(date)" >> ' + sub_log,
         "( " + sub_cmd + " ) >> " + sub_log + " 2>&1",
@@ -141,7 +158,10 @@ def submit_sbatch(command: str, sched_flags: list[str], job, log_file: str,
         argv = base + sched_flags + ["--wait",
                                      "-o", os.path.join(log_dir, "sbatch.%j.out")]
         if job:
-            argv += ["--array", "%d-%d" % (lo, hi)]
+            spec = "%d-%d" % (lo, hi)
+            if max_jobs_run:
+                spec += "%%%d" % max_jobs_run  # slurm array throttle
+            argv += ["--array", spec]
         argv += [spath]
         proc = subprocess.run(argv)
         return proc.returncode
@@ -155,16 +175,21 @@ def submit_sbatch(command: str, sched_flags: list[str], job, log_file: str,
 def main() -> None:
     opts, job, log_file, command = parse_argv(sys.argv[1:])
     env = dict(os.environ)
+    extra_env = {}
     if int(opts.get("gpu") or 0) > 0:
         env["WN_NUM_DEVICES"] = str(opts["gpu"])
+        extra_env["WN_NUM_DEVICES"] = str(opts["gpu"])
+    max_run = int(opts.get("max_jobs_run") or 0)
 
     conf_path = opts.get("config") or "conf/slurm.conf"
-    sub_command, conf_options, defaults = parse_conf(conf_path)
+    sub_command, conf_options, defaults = parse_conf(
+        conf_path, explicit=bool(opts.get("config")))
     sched_flags = translate_options(opts, conf_options, defaults)
 
     if shutil.which("sbatch") is not None:
         sys.exit(submit_sbatch(sub_command, sched_flags, job, log_file,
-                               command))
+                               command, max_jobs_run=max_run,
+                               extra_env=extra_env))
 
     if shutil.which("srun") is not None:
         prefix = ["srun", "--quiet"] + sched_flags
@@ -174,10 +199,13 @@ def main() -> None:
 
         name, lo, hi = job
         codes = {}
+        sem = threading.Semaphore(max_run or (hi - lo + 1))
 
         def worker(idx: int) -> None:
-            sub = lambda s: re.sub(r"\b%s\b" % re.escape(name), str(idx), s)
-            codes[idx] = run_one(sub(log_file), prefix + [sub(c) for c in command], env)
+            with sem:
+                sub = lambda s: re.sub(r"\b%s\b" % re.escape(name), str(idx), s)
+                codes[idx] = run_one(sub(log_file),
+                                     prefix + [sub(c) for c in command], env)
 
         threads = [threading.Thread(target=worker, args=(i,))
                    for i in range(lo, hi + 1)]

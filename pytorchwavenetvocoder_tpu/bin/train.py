@@ -76,7 +76,8 @@ def get_parser() -> argparse.ArgumentParser:
                         help="checkpoint residual layers in the backward "
                              "(needed to fit HBM at large per-device "
                              "batches; 'auto' enables it when batch_size"
-                             " * batch_length > 30000)")
+                             " * batch_length / n_devices > 30000, or "
+                             "always in utterance-batch mode)")
     parser.add_argument("--profile_dir", default=None, type=str,
                         help="write a jax.profiler trace of iterations "
                              "10..20 to this directory (for xprof/"
@@ -204,8 +205,13 @@ def main(argv=None) -> None:
             else:
                 mesh = make_mesh(n_devices)
     if args.remat == "auto":
-        per_dev = args.batch_size * max(args.batch_length, 1)
-        remat = per_dev // max(n_devices, 1) > 30000
+        if args.batch_length <= 0:
+            # utterance-batching mode: lengths are unbounded (a 10 s
+            # utterance is 160k samples) — checkpoint defensively
+            remat = True
+        else:
+            per_dev = args.batch_size * args.batch_length
+            remat = per_dev // max(n_devices, 1) > 30000
     else:
         remat = args.remat == "true"
     if remat:

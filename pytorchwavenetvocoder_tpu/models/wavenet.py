@@ -700,6 +700,14 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
         if impl == "pallas" and not use_pallas:
             raise ValueError("pallas AR kernel does not support this "
                              "config/mesh/backend; use impl='scan'")
+    if quantize and not use_pallas:
+        # never mislabel a bf16 run as int8 — a silent fallback would
+        # make int8-vs-bf16 fidelity comparisons vacuously pass
+        import warnings
+
+        warnings.warn("quantize=True requested but the pallas kernel is "
+                      "unavailable for this config/mesh/backend; decoding "
+                      "with the bf16 scan path instead.", stacklevel=2)
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P

@@ -51,6 +51,15 @@ def get_lib():
     i32 = ctypes.POINTER(ctypes.c_int32)
     c_i, c_d = ctypes.c_int, ctypes.c_double
 
+    # ABI check FIRST: a stale build lacks the v2 symbols, and touching
+    # their .argtypes would raise AttributeError instead of falling back
+    try:
+        lib.wndsp_version.restype = ctypes.c_int
+        if lib.wndsp_version() < 2:
+            return None
+    except (AttributeError, OSError):
+        return None
+
     lib.wndsp_freqt.argtypes = [d, c_i, c_i, c_d, d]
     lib.wndsp_mc2b.argtypes = [d, c_i, c_d, d]
     lib.wndsp_b2mc.argtypes = [d, c_i, c_d, d]
@@ -60,9 +69,6 @@ def get_lib():
     lib.wndsp_stft_mcep.argtypes = [d, c_i, d, c_i, c_i, c_i, c_d, c_d,
                                     c_i, d]
     lib.wndsp_uels_refine.argtypes = [d, c_i, d, c_i, c_d, c_i, c_d]
-    lib.wndsp_version.restype = ctypes.c_int
-    if lib.wndsp_version() < 2:  # stale build with the old ABI
-        return None
     lib.wndsp_mlsa_ir.argtypes = [d, c_i, c_d, c_i, c_i, d]
     lib.wndsp_mlsa_filter.argtypes = [d, c_i, d, c_i, c_d, c_i, c_i, d]
     lib.wndsp_fir_filter.argtypes = [d, c_i, d, c_i, d]

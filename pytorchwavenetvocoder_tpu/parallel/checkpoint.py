@@ -45,6 +45,11 @@ def save_checkpoint(checkpoint_dir: str, state, iterations: int | None = None,
     path = os.path.join(checkpoint_dir, name)
     with open(path, "wb") as f:
         pickle.dump(payload, f)
+    if final:
+        # sidecar lets --resume latest compare iteration counts without
+        # unpickling the full (hundreds of MB) payload
+        with open(path + ".iter", "w") as f:
+            f.write(str(int(iterations)))
     logging.info("%d-iter checkpoint created.", iterations)
     return path
 
@@ -83,7 +88,12 @@ def find_latest_checkpoint(checkpoint_dir: str) -> str | None:
     final = os.path.join(checkpoint_dir, "checkpoint-final.pkl")
     if os.path.exists(final):
         try:
-            if int(load_checkpoint(final)["iterations"]) >= best_it:
+            if os.path.exists(final + ".iter"):  # cheap sidecar
+                with open(final + ".iter") as f:
+                    final_it = int(f.read().strip())
+            else:  # older checkpoints: fall back to unpickling
+                final_it = int(load_checkpoint(final)["iterations"])
+            if final_it >= best_it:
                 return final
         except Exception:
             pass  # unreadable final checkpoint: fall back to numbered ones

@@ -32,3 +32,10 @@ else:
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.dirname(
                           os.path.abspath(__file__))), ".jax_cache"))
+
+    def pytest_ignore_collect(collection_path, config):
+        # under WN_TPU_TESTS=1 the CPU-suite assumptions (x64, 8 virtual
+        # devices) don't hold — collect ONLY the hardware tests so a bare
+        # `WN_TPU_TESTS=1 pytest tests/` does the right thing
+        return (collection_path.name.startswith("test_")
+                and collection_path.name != "test_tpu_hardware.py")

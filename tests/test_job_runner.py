@@ -144,6 +144,7 @@ while [ $# -gt 0 ]; do
 done
 code=0
 if [ -n "$array" ]; then
+  array="${{array%%%*}}"   # strip the %N throttle
   lo="${{array%-*}}"; hi="${{array#*-}}"
   for i in $(seq $lo $hi); do
     SLURM_ARRAY_TASK_ID=$i bash "$script" || code=1
@@ -160,16 +161,28 @@ exit $code
     env = dict(os.environ, PATH=f"{bindir}:{os.environ['PATH']}")
     log = str(tmp_path / "work" / "t.JOB.log")
     r = subprocess.run(["python", os.path.join(REPO, "egs", "utils", "slurm.py"),
-                        "--gpu", "1", "--config", str(conf), "JOB=1:3", log,
-                        "echo", "ran", "JOB"],
+                        "--gpu", "1", "--max-jobs-run", "2",
+                        "--config", str(conf), "JOB=1:3", log,
+                        "echo ran JOB dev=$WN_NUM_DEVICES"],
                        capture_output=True, text=True, env=env)
     assert r.returncode == 0, r.stderr
     argv = open(str(tmp_path / "sbatch.argv")).read()
     assert "--export=PATH" in argv and "--gres=gpu:1" in argv
-    assert "--array 1-3" in argv
+    assert "--array 1-3%2" in argv  # slurm.pl's max-jobs-run mapping
     for i in (1, 2, 3):
         content = open(str(tmp_path / "work" / f"t.{i}.log")).read()
-        assert f"ran {i}" in content and "Ended (code 0)" in content
+        # WN_NUM_DEVICES must reach the job even though --export=PATH
+        # strips the submitter's environment
+        assert f"ran {i} dev=1" in content and "Ended (code 0)" in content
+
+    # an explicitly passed but missing conf must fail fast, not silently
+    # fall back to defaults
+    r = subprocess.run(["python", os.path.join(REPO, "egs", "utils", "slurm.py"),
+                        "--config", str(tmp_path / "nope.conf"),
+                        str(tmp_path / "x.log"), "true"],
+                       capture_output=True, text=True, env=env)
+    assert r.returncode != 0
+    assert "config file not found" in r.stderr
 
 
 def test_all_recipes_syntax():
