@@ -248,3 +248,40 @@ def test_band_aperiodicity_discriminates():
     low = np.median(ap[voiced, 0])
     high = np.median(ap[voiced, -1])
     assert low < high - 0.5, (low, high)
+
+
+def test_f0_adaptive_envelope_beats_periodogram():
+    """CheapTrick-style F0-adaptive analysis must recover a KNOWN filter
+    envelope much better than fixed-window periodogram mcep (which
+    follows the harmonic comb)."""
+    from scipy.signal import freqz, lfilter
+
+    from pytorchwavenetvocoder_tpu.dsp.cepstrum import mc2sp
+    from pytorchwavenetvocoder_tpu.dsp.world import spectral_envelope_mcep
+
+    fs, fftl, dim, alpha = 16000, 1024, 24, 0.41
+    T = fs
+    f0 = 150.0
+    phase = 2 * np.pi * f0 * np.arange(T) / fs
+    exc = sum(np.sin(k * phase) for k in range(1, 40))
+    r, th = 0.95, 2 * np.pi * 1200 / fs  # one resonance at 1200 Hz
+    b, a = [1.0], [1.0, -2 * r * np.cos(th), r * r]
+    x = lfilter(b, a, exc)
+    n_frames = T // 80 + 1
+    cont = np.full(n_frames, f0)
+
+    mc_plain = spectral_envelope_mcep(x, fs, 5.0, fftl, dim, alpha, n_frames)
+    mc_adapt = spectral_envelope_mcep(x, fs, 5.0, fftl, dim, alpha, n_frames,
+                                      cont_f0=cont)
+    wgrid, Hf = freqz(b, a, worN=fftl // 2 + 1, fs=fs)
+    true_log = np.log(np.abs(Hf) ** 2 + 1e-20)
+    band = (wgrid > 300) & (wgrid < 3000)
+
+    def shape_err(mc):
+        errs = [np.std(np.log(mc2sp(mc[i], alpha, fftl))[band] - true_log[band])
+                for i in range(20, n_frames - 20, 5)]
+        return float(np.mean(errs))
+
+    e_plain, e_adapt = shape_err(mc_plain), shape_err(mc_adapt)
+    assert e_adapt < 0.35, e_adapt
+    assert e_adapt < 0.5 * e_plain, (e_adapt, e_plain)
