@@ -135,3 +135,33 @@ def test_model_conf_roundtrip(tmp_path):
     assert WaveNetConfig.from_dict(loaded) == cfg
     # load by directory too
     assert load_model_conf(str(tmp_path))["lr"] == 1e-4
+
+
+def test_shard_global_batch_single_process():
+    """Single-process shard_global_batch must equal shard_batch."""
+    from pytorchwavenetvocoder_tpu.parallel import (
+        make_global_mesh,
+        shard_global_batch,
+    )
+
+    mesh = make_global_mesh()
+    x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    (out,) = shard_global_batch(mesh, (x,))
+    np.testing.assert_array_equal(np.asarray(out), x)
+    assert out.sharding.spec == ("data",) or out.sharding.spec[0] == "data"
+
+
+def test_remat_flag_produces_identical_loss():
+    cfg = tiny_cfg()
+    bx, bh, bt = make_batch(cfg, B=2, T=96, seed=4)
+    s1 = create_train_state(jax.random.PRNGKey(0), cfg, lr=1e-3)
+    s2 = create_train_state(jax.random.PRNGKey(0), cfg, lr=1e-3)
+    step_plain = make_train_step(cfg, lr=1e-3, donate=False)
+    step_remat = make_train_step(cfg, lr=1e-3, donate=False, remat=True)
+    for _ in range(3):
+        s1, l1 = step_plain(s1, bx, bh, bt)
+        s2, l2 = step_remat(s2, bx, bh, bt)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
