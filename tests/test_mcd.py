@@ -47,3 +47,31 @@ def test_mcd_from_wavs(tmp_path):
 def test_mcd_too_short_raises():
     with pytest.raises(ValueError):
         compute_mcd(np.zeros(100), np.zeros(100), 16000)
+
+
+def test_mcd_dtw_absorbs_drift():
+    """DTW alignment must beat a constant-offset search on a signal with
+    a time-varying lag (here: a mid-signal splice that offsets the second
+    half by ~1.5 hops — no single frame offset aligns both halves)."""
+    x = _speechy(6, n=32000)
+    drifted = np.concatenate([x[:16000], x[16000 - 384:len(x) - 384]])
+    d_dtw = compute_mcd(x, drifted, 16000, align="dtw")
+    d_off = compute_mcd(x, drifted, 16000, align="offset")
+    assert d_dtw < d_off
+
+
+def test_mcd_power_threshold_skips_silence():
+    """Leading/trailing silence should not dilute the distortion average
+    when power gating is on."""
+    x = _speechy(7)
+    y = _speechy(8) * 0.5  # different signal -> nonzero MCD
+    pad = np.zeros(8000)
+    xp = np.concatenate([pad, x, pad])
+    yp = np.concatenate([pad, y, pad])
+    d_gated = compute_mcd(xp, yp, 16000, power_threshold_db=-40.0)
+    d_plain = compute_mcd(xp, yp, 16000)
+    # silence frames match each other (both ~zero), pulling the ungated
+    # average down; gating removes them so the distortion is honest
+    assert d_gated > d_plain
+    # identical signals stay ~0 under gating
+    assert compute_mcd(xp, xp, 16000, power_threshold_db=-40.0) < 1e-8
