@@ -152,8 +152,9 @@ def main():
             bx = jax.random.randint(k1, (1, T), 0, 256)
 
             def loss_fn(p):
-                return masked_ce_loss(wavenet_forward(p, config, bx, tb_h),
-                                      bx, rf)
+                return masked_ce_loss(
+                    wavenet_forward(p, config, bx, tb_h,
+                                    bf16_intermediates=True), bx, rf)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state, params)

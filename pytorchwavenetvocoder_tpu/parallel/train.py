@@ -79,7 +79,8 @@ def masked_ce_loss(logits: jnp.ndarray, targets: jnp.ndarray,
 def make_train_step(config: WaveNetConfig, lr: float = 1e-4,
                     weight_decay: float = 0.0,
                     mesh=None, donate: bool = True,
-                    remat: bool = False) -> Callable:
+                    remat: bool = False,
+                    bf16_intermediates: bool | None = None) -> Callable:
     """Build the jitted (and optionally mesh-sharded) train step.
 
     Returns ``step_fn(state, batch_x, batch_h, batch_t) -> (state, loss)``.
@@ -87,14 +88,21 @@ def make_train_step(config: WaveNetConfig, lr: float = 1e-4,
     the state replicated; XLA emits the gradient psum over ICI.
     ``remat`` checkpoints each residual layer — required to fit HBM at
     per-device batches beyond ~1x20000 samples (see wavenet_forward).
+    ``bf16_intermediates`` (default: on when compute_dtype is bfloat16)
+    materializes the layer matmul outputs in bf16 — the step is HBM-bound
+    on those buffers, ~20% faster at ~4e-5 relative loss difference (see
+    wavenet_forward).
     """
     tx = make_optimizer(lr, weight_decay)
     rf = config.receptive_field
+    if bf16_intermediates is None:
+        bf16_intermediates = config.dtype == jnp.bfloat16
 
     def step_fn(state: TrainState, batch_x, batch_h, batch_t):
         def loss_fn(params):
             logits = wavenet_forward(params, config, batch_x, batch_h,
-                                     remat=remat)
+                                     remat=remat,
+                                     bf16_intermediates=bf16_intermediates)
             return masked_ce_loss(logits, batch_t, rf)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -165,3 +165,31 @@ def test_remat_flag_produces_identical_loss():
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_bf16_intermediates_matches_f32():
+    """bf16 matmul-output materialization (the bandwidth optimization the
+    TPU training path defaults to) must match the f32 path closely and
+    train just as well."""
+    import dataclasses
+
+    from pytorchwavenetvocoder_tpu.models.wavenet import wavenet_forward
+
+    cfg = dataclasses.replace(tiny_cfg(), compute_dtype="bfloat16")
+    state = create_train_state(jax.random.PRNGKey(0), cfg, lr=5e-3)
+    bx, bh, bt = make_batch(cfg)
+
+    y32 = np.asarray(wavenet_forward(state.params, cfg, bx, bh,
+                                     bf16_intermediates=False), np.float32)
+    y16 = np.asarray(wavenet_forward(state.params, cfg, bx, bh,
+                                     bf16_intermediates=True), np.float32)
+    # logits agree to bf16 rounding over the layer stack
+    assert np.max(np.abs(y32 - y16)) < 0.15 * max(1.0, np.max(np.abs(y32)))
+
+    step = make_train_step(cfg, lr=5e-3, donate=False,
+                           bf16_intermediates=True)
+    losses = []
+    for _ in range(30):
+        state, loss = step(state, bx, bh, bt)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
