@@ -143,3 +143,79 @@ def test_train_generator_speaker_code(tmp_path):
     (bx, bh), bt = next(gen)
     assert bh.shape[2] == 29  # 28 aux + 1 speaker code
     assert np.all(bh[0, :, 28] == bh[0, 0, 28])
+
+
+def test_train_generator_buffer_spans_file_boundary(tmp_path):
+    """The sliding window buffer concatenates across utterances: no
+    samples are dropped at file boundaries (reference train.py:144-150
+    keeps one cross-file buffer)."""
+    uf = 80
+    rng = np.random.RandomState(7)
+    wav_list, feat_list = [], []
+    xs = []
+    for i in range(2):
+        T = 400 * (i + 1)
+        x = rng.uniform(-0.5, 0.5, T).astype(np.float32)
+        h = rng.randn(T // uf + 1, 28).astype(np.float32)
+        wav, feat = str(tmp_path / f"u{i}.wav"), str(tmp_path / f"u{i}.h5")
+        write_wav(wav, x, 16000)
+        write_hdf5(feat, "/world", h)
+        wav_list.append(wav)
+        feat_list.append(feat)
+        # emulate the generator's length validation (no-upsampler mode
+        # extends h to sample rate, then trims to the shorter)
+        n = min(T, (T // uf + 1) * uf)
+        xs.append(x[:n])
+    stream = np.concatenate(xs)
+
+    rf, bl = 100, 200
+    gen = train_generator(
+        wav_list, feat_list, receptive_field=rf, batch_length=bl,
+        batch_size=1, wav_transform=lambda v: encode_mu_law(v, 256),
+        upsampling_factor=uf, use_upsampling_layer=False,
+        shuffle=False, seed=0)
+    enc = encode_mu_law(stream, 256).astype(np.int32)
+    for i in range(3):  # the 2nd window spans the file-0/file-1 boundary
+        (bx, bh), bt = next(gen)
+        start = i * bl
+        np.testing.assert_array_equal(bx[0], enc[start:start + rf + bl - 1])
+        np.testing.assert_array_equal(bt[0], enc[start + 1:start + rf + bl])
+
+
+def test_decode_generator_without_upsampling_layer(tmp_path):
+    """No-upsampler decode: features are frame-extended on the host and
+    n_samples counts extended frames minus one (reference
+    decode.py:83-84,108-109)."""
+    wav_list, feat_list = make_dataset(tmp_path, n=2)
+    gen = decode_generator(feat_list, batch_size=1, upsampling_factor=80,
+                           use_upsampling_layer=False,
+                           wav_transform=lambda x: encode_mu_law(x, 256))
+    from pytorchwavenetvocoder_tpu.utils import read_hdf5
+
+    for (feat_id, (x, h, n_samples)), feat in zip(gen, feat_list):
+        raw = read_hdf5(feat, "/world")
+        assert h.shape[1] == raw.shape[0] * 80  # extended to sample rate
+        assert n_samples == h.shape[1] - 1
+        # frames are replicated within each 80-sample block
+        np.testing.assert_array_equal(h[0, 0], h[0, 79])
+
+
+def test_train_generator_applies_feat_transform(tmp_path):
+    """feat_transform (the StandardScaler in the trainer) is applied per
+    window before batching."""
+    wav_list, feat_list = make_dataset(tmp_path, n=2)
+    shift = 5.0
+    gen_raw = train_generator(
+        wav_list, feat_list, receptive_field=100, batch_length=500,
+        batch_size=1, wav_transform=lambda x: encode_mu_law(x, 256),
+        upsampling_factor=80, use_upsampling_layer=True,
+        shuffle=False, seed=0)
+    gen_tf = train_generator(
+        wav_list, feat_list, receptive_field=100, batch_length=500,
+        batch_size=1, wav_transform=lambda x: encode_mu_law(x, 256),
+        feat_transform=lambda h: h + shift,
+        upsampling_factor=80, use_upsampling_layer=True,
+        shuffle=False, seed=0)
+    (_, bh_raw), _ = next(gen_raw)
+    (_, bh_tf), _ = next(gen_tf)
+    np.testing.assert_allclose(bh_tf, bh_raw + shift, rtol=1e-6)
