@@ -91,28 +91,74 @@ def parse_conf(path: str | None, explicit: bool = False):
 
 def translate_options(opts: dict, conf_options: dict, defaults: dict) -> list[str]:
     """Map CLI options to scheduler flags via the conf templates
-    (the logic of slurm.pl's cli_options loop)."""
+    (the logic of slurm.pl's cli_options loop).
+
+    Two safety properties beyond straight template substitution:
+
+    - an explicitly passed option that no config line matches is an
+      ERROR (slurm.pl dies with "none of the config lines matched";
+      silently dropping e.g. --mem would submit without a memory limit);
+    - a template may embed defaults for OTHER flags (the stock conf's
+      ``option gpu=* ... --time 10-00:00:00``); since sbatch takes the
+      LAST occurrence of a repeated flag, such embedded flags are
+      dropped when the user passed that option explicitly — otherwise
+      the template default would silently override the user's value.
+    """
     cli = {}
+    explicit: set = set()
+    # parse_argv fills these even when the user typed nothing; only a
+    # differing value is "explicit" (unmatched-option death applies to it)
+    runner_defaults = {"gpu": "0", "num_threads": "1"}
     for key in ("time", "mem", "num_threads", "gpu"):
         v = opts.get(key)
         if v not in (None, "") and not (key == "gpu" and str(v) == "0"
                                         and "gpu" not in conf_options):
             cli[key] = str(v)
+            if str(v) != runner_defaults.get(key):
+                explicit.add(key)
     for key, val in defaults.items():
         cli.setdefault(key, str(val))
-    out: list[str] = []
-    for key, val in cli.items():
+
+    def expand(key):
         templates = conf_options.get(key)
         if not templates:
-            continue  # option not known to the conf: add nothing
-        if val in templates:
-            template = templates[val]
-        elif "*" in templates:
-            template = templates["*"].replace("$0", val)
-        else:
-            continue
-        if template:
-            out += template.split()
+            return None
+        if cli[key] in templates:
+            return templates[cli[key]]
+        if "*" in templates:
+            return templates["*"].replace("$0", cli[key])
+        return None
+
+    # which explicit option "owns" each scheduler flag: an option's FIRST
+    # flag token is its primary flag (e.g. time -> --time) and wins over
+    # another template's embedded default for the same flag
+    flag_owner: dict[str, str] = {}
+    for pass_primary in (True, False):
+        for key in sorted(explicit):
+            flags = [t.split("=", 1)[0] for t in (expand(key) or "").split()
+                     if t.startswith("-")]
+            for f in (flags[:1] if pass_primary else flags[1:]):
+                flag_owner.setdefault(f, key)
+
+    out: list[str] = []
+    for key, val in cli.items():
+        template = expand(key)
+        if template is None:
+            if key in explicit:
+                sys.stderr.write(
+                    f"slurm.py: none of the config lines matched option "
+                    f"--{key} {val} (add an 'option {key}=*' line to the "
+                    f"config)\n")
+                sys.exit(1)
+            continue  # defaulted option unknown to the conf: add nothing
+        keep, skip_group = [], False
+        for tok in template.split():
+            if tok.startswith("-"):
+                owner = flag_owner.get(tok.split("=", 1)[0])
+                skip_group = owner is not None and owner != key
+            if not skip_group:
+                keep.append(tok)
+        out += keep
     return out
 
 

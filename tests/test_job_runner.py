@@ -193,3 +193,38 @@ def test_all_recipes_syntax():
     for rs in recipes:
         r = run(["bash", "-n", rs])
         assert r.returncode == 0, rs
+
+
+def test_slurm_user_time_beats_gpu_template_default(tmp_path):
+    """The gpu=* template embeds '--time 10-00:00:00'; with sbatch's
+    last-wins parsing that silently overrode an explicit --time. The
+    embedded default must be dropped when the user passed --time."""
+    slurm = _import_slurm()
+    conf = tmp_path / "slurm.conf"
+    conf.write_text("option time=* --time $0\n"
+                    "option gpu=* -p hpc --gres=gpu:$0 --time 10-00:00:00\n")
+    _, options, defaults = slurm.parse_conf(str(conf))
+    flags = slurm.translate_options({"time": "4:00:00", "gpu": "2"},
+                                    options, defaults)
+    assert flags.count("--time") == 1
+    assert flags[flags.index("--time") + 1] == "4:00:00"
+    assert "--gres=gpu:2" in flags and "10-00:00:00" not in flags
+    # without an explicit --time the template default still applies
+    flags = slurm.translate_options({"gpu": "2"}, options, defaults)
+    assert "10-00:00:00" in flags
+
+
+def test_slurm_unmatched_option_is_fatal(tmp_path):
+    """slurm.pl dies when no config line matches a passed option; dropping
+    it silently (e.g. --mem) would submit without the resource limit."""
+    import pytest
+
+    slurm = _import_slurm()
+    conf = tmp_path / "slurm.conf"
+    conf.write_text("option time=* --time $0\n")
+    _, options, defaults = slurm.parse_conf(str(conf))
+    with pytest.raises(SystemExit):
+        slurm.translate_options({"mem": "50G"}, options, defaults)
+    # an unmatched DEFAULT (not user-passed) still just adds nothing
+    flags = slurm.translate_options({"time": "1:00"}, options, {"gpu": "0"})
+    assert flags == ["--time", "1:00"]
