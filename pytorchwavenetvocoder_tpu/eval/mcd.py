@@ -9,11 +9,16 @@ Alignment: AR vocoders drift in time relative to the reference (the
 one-sample seed offset, MLSA group delay, and any frame-rate rounding
 all shift frames), so a fixed offset is not enough for a parity
 instrument.  Default alignment is frame-level DTW (band-constrained,
-symmetric step pattern) over the c0-free mel-cepstra; per-path-cell mean
-is the standard speech-synthesis MCD.  ``align="offset"`` keeps the
-cheaper ±frame-offset search for smoke use.  Low-energy (silence) frames
-can be excluded via ``power_threshold_db`` so long silences do not
-dilute the average.
+symmetric step pattern) over the c0-free mel-cepstra; the per-path-cell
+mean is the standard speech-synthesis MCD.  ``align="offset"`` keeps the
+cheaper ±frame-offset search for smoke use.
+
+Silence gating (``power_threshold_db``) is applied AFTER alignment:
+path cells (or offset-aligned pairs) where both frames sit more than
+that many dB below their own signal's loudest frame are excluded from
+the average.  Gating each signal against its OWN peak keeps an overall
+gain offset from gating the two sides asymmetrically, and gating after
+alignment keeps the sequences temporally intact for DTW.
 """
 
 from __future__ import annotations
@@ -25,43 +30,60 @@ from pytorchwavenetvocoder_tpu.dsp.cepstrum import stft_mcep
 MCD_CONST = 10.0 * np.sqrt(2.0) / np.log(10.0)
 
 
-def _dtw_mean_cost(a: np.ndarray, b: np.ndarray, band: int) -> float:
-    """Mean Euclidean frame distance along the best DTW path.
+def _dtw_path(a: np.ndarray, b: np.ndarray, band: int):
+    """Best-path DTW over Euclidean frame distance.
 
     Symmetric steps (diag/up/left), Sakoe-Chiba band of ``band`` frames
-    around the diagonal.  Returns mean local cost over path cells so
-    longer paths are not penalized (the standard MCD averaging).
+    around the diagonal.  Returns (path_i, path_j, local_costs) arrays
+    along the best path.
     """
     Ta, Tb = a.shape[0], b.shape[0]
     band = max(band, abs(Ta - Tb) + 1)
     INF = np.inf
-    # cost[i, j] = min cumulative cost to align a[:i+1], b[:j+1]
     acc = np.full((Ta, Tb), INF)
-    steps = np.zeros((Ta, Tb), np.int32)  # path length in cells
-    # local distances inside the band only
+    dist = np.full((Ta, Tb), INF)
+    back = np.zeros((Ta, Tb), np.int8)  # 0=diag 1=up(i-1,j) 2=left(i,j-1)
     for i in range(Ta):
         lo = max(0, i * Tb // Ta - band)
         hi = min(Tb, i * Tb // Ta + band + 1)
         d = np.sqrt(np.sum((b[lo:hi] - a[i]) ** 2, axis=1))
+        dist[i, lo:hi] = d
         if i == 0:
             acc[0, lo:hi] = np.cumsum(d)
-            steps[0, lo:hi] = np.arange(1, hi - lo + 1)
+            back[0, lo:hi] = 2
+            back[0, 0] = -1
             continue
         for j, dj in zip(range(lo, hi), d):
-            best, bsteps = INF, 0
+            best, step = INF, 0
             if acc[i - 1, j] < best:
-                best, bsteps = acc[i - 1, j], steps[i - 1, j]
+                best, step = acc[i - 1, j], 1
             if j > 0:
-                if acc[i - 1, j - 1] < best:
-                    best, bsteps = acc[i - 1, j - 1], steps[i - 1, j - 1]
+                if acc[i - 1, j - 1] <= best:
+                    best, step = acc[i - 1, j - 1], 0
                 if acc[i, j - 1] < best:
-                    best, bsteps = acc[i, j - 1], steps[i, j - 1]
+                    best, step = acc[i, j - 1], 2
             if best < INF:
                 acc[i, j] = best + dj
-                steps[i, j] = bsteps + 1
+                back[i, j] = step
     if not np.isfinite(acc[-1, -1]):
         raise ValueError("DTW band too narrow for these lengths")
-    return float(acc[-1, -1] / steps[-1, -1])
+    pi, pj = [], []
+    i, j = Ta - 1, Tb - 1
+    while True:
+        pi.append(i)
+        pj.append(j)
+        if i == 0 and j == 0:
+            break
+        s = back[i, j]
+        if s == 0:
+            i, j = i - 1, j - 1
+        elif s == 1:
+            i -= 1
+        else:
+            j -= 1
+    pi = np.asarray(pi[::-1])
+    pj = np.asarray(pj[::-1])
+    return pi, pj, dist[pi, pj]
 
 
 def compute_mcd(x_ref: np.ndarray, x_gen: np.ndarray, fs: int,
@@ -75,9 +97,12 @@ def compute_mcd(x_ref: np.ndarray, x_gen: np.ndarray, fs: int,
     ``align="dtw"`` (default) frames are DTW-aligned within a
     ±``dtw_band``-frame band; ``align="offset"`` takes the best constant
     offset in ±``shift_search`` frames.  ``power_threshold_db`` (e.g.
-    -40) drops reference frames whose energy is more than that many dB
-    below the loudest frame before aligning.
+    -40) drops aligned pairs where both frames are more than that many
+    dB below their own signal's loudest frame (applied after alignment;
+    see module docstring).
     """
+    if align not in ("dtw", "offset"):
+        raise ValueError(f"align must be 'dtw' or 'offset', got {align!r}")
     shiftl = fftl // 2
     n = min(len(x_ref), len(x_gen))
     if n < fftl * 2:
@@ -88,31 +113,37 @@ def compute_mcd(x_ref: np.ndarray, x_gen: np.ndarray, fs: int,
     mc_ref = stft_mcep(x_ref, fftl, shiftl, mcep_dim, mcep_alpha)
     mc_gen = stft_mcep(x_gen, fftl, shiftl, mcep_dim, mcep_alpha)
 
-    if power_threshold_db is not None:
-        # c0 is the log-gain: threshold relative to the loudest frame
-        thr = mc_ref[:, 0].max() + power_threshold_db * np.log(10.0) / 20.0
-        keep_ref = mc_ref[:, 0] >= thr
-        keep_gen = mc_gen[:, 0] >= thr
-        if keep_ref.sum() >= 2 and keep_gen.sum() >= 2:
-            mc_ref = mc_ref[keep_ref]
-            mc_gen = mc_gen[keep_gen]
+    def keep_mask(i_ref, j_gen):
+        if power_threshold_db is None:
+            return np.ones(len(i_ref), bool)
+        ln = np.log(10.0) / 20.0  # c0 is log-gain (natural log)
+        ok_ref = mc_ref[i_ref, 0] >= mc_ref[:, 0].max() + power_threshold_db * ln
+        ok_gen = mc_gen[j_gen, 0] >= mc_gen[:, 0].max() + power_threshold_db * ln
+        keep = ok_ref | ok_gen  # drop only both-silent pairs
+        return keep if keep.any() else np.ones(len(i_ref), bool)
 
-    mc_ref = mc_ref[:, 1:]
-    mc_gen = mc_gen[:, 1:]
+    a = mc_ref[:, 1:]
+    b = mc_gen[:, 1:]
 
     if align == "dtw":
-        return MCD_CONST * _dtw_mean_cost(mc_ref, mc_gen, dtw_band)
+        pi, pj, costs = _dtw_path(a, b, dtw_band)
+        keep = keep_mask(pi, pj)
+        return float(MCD_CONST * np.mean(costs[keep]))
 
     best = np.inf
     for off in range(-shift_search, shift_search + 1):
         if off >= 0:
-            a, b = mc_ref[off:], mc_gen[: mc_gen.shape[0] - off]
+            ia = np.arange(off, a.shape[0])
+            jb = np.arange(0, b.shape[0] - off)
         else:
-            a, b = mc_ref[:off], mc_gen[-off:]
-        m = min(a.shape[0], b.shape[0])
+            ia = np.arange(0, a.shape[0] + off)
+            jb = np.arange(-off, b.shape[0])
+        m = min(len(ia), len(jb))
         if m == 0:
             continue
-        d = np.sqrt(np.sum((a[:m] - b[:m]) ** 2, axis=1))
+        ia, jb = ia[:m], jb[:m]
+        keep = keep_mask(ia, jb)
+        d = np.sqrt(np.sum((a[ia[keep]] - b[jb[keep]]) ** 2, axis=1))
         best = min(best, float(np.mean(MCD_CONST * d)))
     return best
 

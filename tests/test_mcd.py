@@ -75,3 +75,19 @@ def test_mcd_power_threshold_skips_silence():
     assert d_gated > d_plain
     # identical signals stay ~0 under gating
     assert compute_mcd(xp, xp, 16000, power_threshold_db=-40.0) < 1e-8
+
+
+def test_mcd_gating_is_gain_symmetric():
+    """Each signal gates against its OWN peak: a global gain offset (a
+    quieter decode) must not gate the two sides asymmetrically.  c1+ of
+    the mel-cepstrum is gain-invariant, so a pure rescale stays tiny."""
+    x = _speechy(9)
+    quiet = 0.05 * x  # -26 dB
+    d = compute_mcd(x, quiet, 16000, power_threshold_db=-40.0)
+    assert d < 0.5, d
+
+
+def test_mcd_rejects_unknown_align():
+    x = _speechy(10)
+    with pytest.raises(ValueError):
+        compute_mcd(x, x, 16000, align="DTW")
