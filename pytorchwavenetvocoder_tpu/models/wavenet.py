@@ -386,6 +386,32 @@ def _forward_collect(params: Params, config: WaveNetConfig,
     return streams  # list of (B, T, R); last entry unused by buffers
 
 
+def _forward_act_maxes(params: Params, config: WaveNetConfig,
+                       x: jnp.ndarray, h: jnp.ndarray) -> jnp.ndarray:
+    """Per-layer max |residual-stream| over the teacher-forced seed region.
+
+    Same math as ``_forward_collect`` but reduces each layer's input
+    stream to a scalar instead of materializing all L streams (O(1)
+    stream memory), so int8 calibration can see the WHOLE decode fleet —
+    calibrating from a few rows lets louder utterances elsewhere in the
+    batch clip at ±127.  Returns (n_layers,) f32.
+    """
+    c = config
+    R = c.n_resch
+    dt = c.dtype
+    out = input_embed(x, params, c)
+    h = h.astype(dt)
+    maxes = []
+    for l, d in enumerate(c.dilations):
+        maxes.append(jnp.max(jnp.abs(out.astype(jnp.float32))))
+        z = causal_conv(out.astype(dt), params["dil"]["w"][l].astype(dt),
+                        params["dil"]["b"][l], d)
+        za = _dot(h, params["aux"]["w"][l].astype(dt)) + params["aux"]["b"][l]
+        g = _gate(z, za, R).astype(dt)
+        out = _dot(g, params["res"]["w"][l].astype(dt)) + params["res"]["b"][l] + out
+    return jnp.stack(maxes)
+
+
 def _buffer_layout(config: WaveNetConfig):
     """Static ring-buffer layout: per-layer capacity (k-1)*d and offsets."""
     k = config.kernel_size

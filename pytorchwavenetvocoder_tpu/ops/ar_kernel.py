@@ -139,15 +139,36 @@ def weights_resident(config, B: int, quantize: bool = False) -> bool:
 def calibrate_act_scales(params, config, x, h_up):
     """Static per-layer int8 activation scales from the warmup region.
 
-    Runs the teacher-forced forward on (a slice of) the seed and returns
-    (L, 1) f32 scales sized so the residual-stream activations map into
-    [-127, 127] with 25% headroom.  One-time cost per decode fleet.
-    """
-    from pytorchwavenetvocoder_tpu.models.wavenet import _forward_collect
+    Runs the teacher-forced forward over the WHOLE fleet's seed region
+    (max-only — see ``_forward_act_maxes``) and returns (L, 1) f32
+    scales sized so the residual-stream activations map into [-127, 127]
+    with 25% headroom for free-running drift past the teacher-forced
+    range.  Calibrating from a row subset instead would clip utterances
+    whose conditioning is louder than the sampled rows'.
 
-    streams = _forward_collect(params, config, x[:8], h_up[:8, : x.shape[1]])
-    maxes = jnp.stack([jnp.max(jnp.abs(s.astype(jnp.float32)))
-                       for s in streams[: config.n_layers]])
+    Rows are processed in blocks of 8 via ``lax.map``: a full-batch
+    forward at B=256 peaks ~5 GB of activation temporaries, and that
+    high-water mark was measured to degrade the SUBSEQUENT Pallas decode
+    by ~20% (allocator state) — blocking keeps the one-time calibration
+    footprint at the few-hundred-MB level.
+    """
+    from pytorchwavenetvocoder_tpu.models.wavenet import _forward_act_maxes
+
+    B = x.shape[0]
+    blk = min(8, B)
+    nblk = (B + blk - 1) // blk
+    pad = nblk * blk - B
+    h = h_up[:, : x.shape[1]]
+    if pad:
+        # duplicate leading rows: duplicates cannot change the max
+        x = jnp.concatenate([x, x[:pad]], axis=0)
+        h = jnp.concatenate([h, h[:pad]], axis=0)
+    xb = x.reshape(nblk, blk, *x.shape[1:])
+    hb = h.reshape(nblk, blk, *h.shape[1:])
+    maxes = jax.lax.map(
+        lambda xh: _forward_act_maxes(params, config, xh[0], xh[1]),
+        (xb, hb))                      # (nblk, L)
+    maxes = jnp.max(maxes, axis=0)
     return (1.25 * jnp.maximum(maxes, 1e-3) / 127.0)[:, None]  # (L, 1)
 
 
