@@ -61,16 +61,12 @@ def validate_length(x: np.ndarray, y: np.ndarray,
     return x, y
 
 
-def _load_utterance(wavfile: str, featfile: str, feature_type: str,
-                    upsampling_factor: int, use_upsampling_layer: bool,
-                    use_speaker_code: bool
-                    ) -> Tuple[np.ndarray, np.ndarray]:
-    """Read one (waveform, aux-feature) pair, length-validated.
-
-    Applies frame extension on the no-upsampler path and the tiled
-    speaker-code column, like reference ``train.py:119-138``.
-    """
-    x, _fs = read_wav(wavfile, dtype="float32")
+def _load_features(featfile: str, feature_type: str, upsampling_factor: int,
+                   use_upsampling_layer: bool, use_speaker_code: bool
+                   ) -> np.ndarray:
+    """Read one aux-feature matrix: frame extension on the no-upsampler
+    path and the tiled speaker-code column (reference
+    ``train.py:119-128`` / ``decode.py:82-88`` — identical block)."""
     h = np.asarray(read_hdf5(featfile, "/" + feature_type), np.float32)
     if not use_upsampling_layer:
         h = extend_time(h, upsampling_factor)
@@ -78,6 +74,18 @@ def _load_utterance(wavfile: str, featfile: str, feature_type: str,
         sc = np.asarray(read_hdf5(featfile, "/speaker_code"), np.float32)
         h = np.concatenate([h, np.tile(sc.reshape(1, -1), (h.shape[0], 1))],
                            axis=1)
+    return h
+
+
+def _load_utterance(wavfile: str, featfile: str, feature_type: str,
+                    upsampling_factor: int, use_upsampling_layer: bool,
+                    use_speaker_code: bool
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+    """Read one (waveform, aux-feature) pair, length-validated
+    (reference ``train.py:119-138``)."""
+    x, _fs = read_wav(wavfile, dtype="float32")
+    h = _load_features(featfile, feature_type, upsampling_factor,
+                       use_upsampling_layer, use_speaker_code)
     if use_upsampling_layer:
         x, h = validate_length(x, h, upsampling_factor)
     else:
@@ -231,13 +239,8 @@ def _load_decode_features(featfile: str, feature_type: str,
                           use_upsampling_layer: bool,
                           use_speaker_code: bool,
                           feat_transform: Optional[Callable]) -> np.ndarray:
-    h = np.asarray(read_hdf5(featfile, "/" + feature_type), np.float32)
-    if not use_upsampling_layer:
-        h = extend_time(h, upsampling_factor)
-    if use_speaker_code:
-        sc = np.asarray(read_hdf5(featfile, "/speaker_code"), np.float32)
-        h = np.concatenate([h, np.tile(sc.reshape(1, -1), (h.shape[0], 1))],
-                           axis=1)
+    h = _load_features(featfile, feature_type, upsampling_factor,
+                       use_upsampling_layer, use_speaker_code)
     if feat_transform is not None:
         h = feat_transform(h)
     return np.asarray(h, np.float32)

@@ -37,6 +37,10 @@ class BackgroundGenerator(threading.Thread):
     def next(self):
         next_item = self.queue.get()
         if next_item is None:
+            # re-arm the sentinel: the producer thread is finished, so a
+            # caller that catches the error and calls next() again must
+            # see the same terminal signal, not block forever on get()
+            self.queue.put(None)
             if self.exc is not None:
                 raise self.exc
             raise StopIteration
