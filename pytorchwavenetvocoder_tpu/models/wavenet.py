@@ -268,7 +268,8 @@ def _gate(z: jnp.ndarray, za: jnp.ndarray, R: int) -> jnp.ndarray:
 def wavenet_forward(params: Params, config: WaveNetConfig,
                     x: jnp.ndarray, h: jnp.ndarray,
                     remat: bool = False,
-                    bf16_intermediates: bool = False) -> jnp.ndarray:
+                    bf16_intermediates: bool = False,
+                    fused: bool = False) -> jnp.ndarray:
     """Training forward: (B, T) ids + (B, T', A) aux -> (B, T, Q) logits.
 
     Mirrors reference ``forward`` (`wavenet.py:212-241`).  If
@@ -287,8 +288,33 @@ def wavenet_forward(params: Params, config: WaveNetConfig,
     ~20% faster at the flagship operating point, at ~4e-5 relative loss
     difference.  Used by the training path only — generation keeps f32
     so the naive == scan == pallas bit-equality invariants hold.
+
+    ``fused=True`` routes the L-layer stack through the Pallas fused
+    training kernels (ops/train_kernel.py): activations stay in VMEM
+    tiles and only the bf16 backward residuals touch HBM, removing the
+    HBM-bandwidth wall entirely (TPU only; gate with
+    ``ops.train_kernel.supports_fused_train``).  Numerics match
+    ``bf16_intermediates=True`` up to bf16 rounding of the saved
+    activations.
     """
     c = config
+    if fused:
+        from pytorchwavenetvocoder_tpu.ops.train_kernel import (
+            fused_layer_stack,
+        )
+
+        out = input_embed(x, params, c).astype(jnp.bfloat16)
+        if c.upsampling_factor > 0:
+            h = upsample_aux(params, c, h)
+        skip_sum = fused_layer_stack(params, c, out, h)
+        dt = jnp.bfloat16
+        post = jax.nn.relu(skip_sum)
+        post = jax.nn.relu(
+            _dot(post.astype(dt), params["post1"]["w"].astype(dt))
+            + params["post1"]["b"])
+        return (_dot(post.astype(dt), params["post2"]["w"].astype(dt))
+                + params["post2"]["b"])
+
     R = c.n_resch
     dt = c.dtype
     mm_dt = dt if bf16_intermediates and dt == jnp.bfloat16 else None

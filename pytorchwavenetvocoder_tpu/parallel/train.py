@@ -80,7 +80,8 @@ def make_train_step(config: WaveNetConfig, lr: float = 1e-4,
                     weight_decay: float = 0.0,
                     mesh=None, donate: bool = True,
                     remat: bool = False,
-                    bf16_intermediates: bool | None = None) -> Callable:
+                    bf16_intermediates: bool | None = None,
+                    fused: bool | None = None) -> Callable:
     """Build the jitted (and optionally mesh-sharded) train step.
 
     Returns ``step_fn(state, batch_x, batch_h, batch_t) -> (state, loss)``.
@@ -92,6 +93,9 @@ def make_train_step(config: WaveNetConfig, lr: float = 1e-4,
     materializes the layer matmul outputs in bf16 — the step is HBM-bound
     on those buffers, ~20% faster at ~4e-5 relative loss difference (see
     wavenet_forward).
+    ``fused`` (default: auto — on for TPU backends when the config
+    qualifies) routes the layer stack through the Pallas fused training
+    kernels, removing the HBM-bandwidth wall (see ops/train_kernel.py).
     """
     tx = make_optimizer(lr, weight_decay)
     rf = config.receptive_field
@@ -99,10 +103,21 @@ def make_train_step(config: WaveNetConfig, lr: float = 1e-4,
         bf16_intermediates = config.dtype == jnp.bfloat16
 
     def step_fn(state: TrainState, batch_x, batch_h, batch_t):
+        use_fused = fused
+        if use_fused is None:
+            from pytorchwavenetvocoder_tpu.ops.train_kernel import (
+                supports_fused_train,
+            )
+
+            use_fused = (jax.default_backend() == "tpu"
+                         and config.dtype == jnp.bfloat16
+                         and supports_fused_train(config, batch_x.shape[1]))
+
         def loss_fn(params):
             logits = wavenet_forward(params, config, batch_x, batch_h,
-                                     remat=remat,
-                                     bf16_intermediates=bf16_intermediates)
+                                     remat=remat and not use_fused,
+                                     bf16_intermediates=bf16_intermediates,
+                                     fused=use_fused)
             return masked_ce_loss(logits, batch_t, rf)
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
