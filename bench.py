@@ -134,10 +134,20 @@ def main():
         from pytorchwavenetvocoder_tpu.models.wavenet import wavenet_forward
         from pytorchwavenetvocoder_tpu.parallel.train import make_optimizer
 
+        from pytorchwavenetvocoder_tpu.ops.train_kernel import (
+            supports_fused_train,
+        )
+
         bl = 20000
         rf = config.receptive_field
         uf = config.upsampling_factor
         T = ((bl + rf) // uf + 1) * uf  # frame-aligned batch_length + rf
+        # fused Pallas train kernels (ops/train_kernel.py): the
+        # production default on TPU (make_train_step auto-gates the same
+        # way); BENCH_FUSED=0 reverts to the XLA path
+        use_fused = (jax.default_backend() == "tpu"
+                     and supports_fused_train(config, T)
+                     and os.environ.get("BENCH_FUSED", "1") == "1")
         state = create_train_state(jax.random.PRNGKey(0), config, lr=1e-4)
         tx = make_optimizer(1e-4)
         tb_h = jnp.asarray(rng.randn(1, T // uf, 28), np.float32)
@@ -154,7 +164,8 @@ def main():
             def loss_fn(p):
                 return masked_ce_loss(
                     wavenet_forward(p, config, bx, tb_h,
-                                    bf16_intermediates=True), bx, rf)
+                                    bf16_intermediates=True,
+                                    fused=use_fused), bx, rf)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             updates, opt_state = tx.update(grads, opt_state, params)

@@ -66,7 +66,11 @@ from jax.experimental.pallas import tpu as pltpu
 # v5e usable VMEM; keep in sync with ar_kernel.VMEM_BUDGET_BYTES
 VMEM_BUDGET_BYTES = 112 * 1024 * 1024
 
-_TILE = 512  # row-tile size M; T is padded to a multiple of this
+import os as _os
+
+# row-tile size M; T is padded to a multiple of this.  The env knob is a
+# benchmarking aid (scripts/), not a production switch.
+_TILE = int(_os.environ.get("_WN_TRAIN_TILE", "512"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -417,20 +421,22 @@ def _bwd_pallas(config, lw, x0, streams, st, hb, dskip, interpret=False):
     dsk = jnp.zeros((B, T_pad, S), jnp.float32)
     dsk = dsk.at[:, :T].set(dskip.astype(jnp.float32))
 
-    # pre-transposed weights for the dx chain (XLA-side, negligible)
-    dil_wT = jnp.swapaxes(lw["dil_w"], 2, 3).astype(jnp.bfloat16)  # (L,k,2R,R)
-    aux_wT = jnp.zeros((L, 2 * R, HA), jnp.bfloat16)
-    aux_wT = aux_wT.at[:, :, :A].set(
-        jnp.swapaxes(lw["aux_w"], 1, 2).astype(jnp.bfloat16))
-    skip_wT = jnp.swapaxes(lw["skip_w"], 1, 2).astype(jnp.bfloat16)  # (L,S,R)
-    res_wT = jnp.swapaxes(lw["res_w"], 1, 2).astype(jnp.bfloat16)    # (L,R,R)
+    # the dx chain contracts against the UNtransposed weights via
+    # dot_general dimension numbers — no transposed copies (those cost
+    # ~2.3 ms/step of pure data formatting at the flagship shapes)
+    dil_w = lw["dil_w"].astype(jnp.bfloat16)              # (L, k, R, 2R)
+    aux_w = jnp.zeros((L, HA, 2 * R), jnp.bfloat16)
+    aux_w = aux_w.at[:, :A].set(lw["aux_w"].astype(jnp.bfloat16))
+    skip_w = lw["skip_w"].astype(jnp.bfloat16)            # (L, R, S)
+    res_w = lw["res_w"].astype(jnp.bfloat16)              # (L, R, R)
     shifts = _tap_shifts(c)
 
     rows = (((0,), (0,)), ((), ()))  # dot_general: contract over rows
+    cols = (((1,), (1,)), ((), ()))  # dot_general: x @ W^T
 
     def kernel(shift_ref,
                x0_ref, streams_ref, st_ref, dsk_ref, h_ref,
-               dilwT_ref, auxwT_ref, skipwT_ref, reswT_ref,
+               dilw_ref, auxw_ref, skipw_ref, resw_ref,
                ddil_o, daux_o, dskipw_o, dresw_o, dzb_o, dresb_o,
                dx0_o, dh_o, dx_pp,
                x_tile, st_tile, dout_tile, dzring, dx_stage, dh_stage,
@@ -510,10 +516,11 @@ def _bwd_pallas(config, lw, x0, streams, st, hb, dskip, interpret=False):
         s = st_tile[par, :, :R].astype(jnp.float32)
         t = st_tile[par, :, R:].astype(jnp.float32)
 
-        dg = (jnp.dot(dout_bf, reswT_ref[0],
-                      preferred_element_type=jnp.float32)
-              + jnp.dot(dskip_t.astype(jnp.bfloat16), skipwT_ref[0],
-                        preferred_element_type=jnp.float32))
+        dg = (jax.lax.dot_general(dout_bf, resw_ref[0], cols,
+                                  preferred_element_type=jnp.float32)
+              + jax.lax.dot_general(dskip_t.astype(jnp.bfloat16),
+                                    skipw_ref[0], cols,
+                                    preferred_element_type=jnp.float32))
         ds = dg * t * s * (1.0 - s)
         dt = dg * s * (1.0 - t * t)
 
@@ -559,8 +566,8 @@ def _bwd_pallas(config, lw, x0, streams, st, hb, dskip, interpret=False):
                                    keepdims=True))
 
         # lagged-tap weight grads (via forward-shifted dz) + the dx chain
-        dx = (jnp.dot(dz, dilwT_ref[0, k - 1],
-                      preferred_element_type=jnp.float32)
+        dx = (jax.lax.dot_general(dz, dilw_ref[0, k - 1], cols,
+                                  preferred_element_type=jnp.float32)
               + dout_bf.astype(jnp.float32))
         for j in range(k - 1):
             # dz rows [m0 + shift, m0 + shift + M) from the ring
@@ -570,8 +577,9 @@ def _bwd_pallas(config, lw, x0, streams, st, hb, dskip, interpret=False):
             dzsh = pltpu.roll(dzring[...], n, 0)[:M].astype(jnp.bfloat16)
             acc(ddil_o, (0, j), jax.lax.dot_general(
                 x_t, dzsh, rows, preferred_element_type=jnp.float32))
-            dx = dx + jnp.dot(dzsh, dilwT_ref[0, j],
-                              preferred_element_type=jnp.float32)
+            dx = dx + jax.lax.dot_general(
+                dzsh, dilw_ref[0, j], cols,
+                preferred_element_type=jnp.float32)
 
         # ---- dh partial + dx tile -----------------------------------------
         @pl.when(gi >= 2)
@@ -581,9 +589,9 @@ def _bwd_pallas(config, lw, x0, streams, st, hb, dskip, interpret=False):
             pltpu.make_async_copy(dx_stage.at[par], dx_stage.at[par],
                                   dx_sems.at[par]).wait()
 
-        dh_stage[par] = jnp.dot(dz, auxwT_ref[0],
-                                preferred_element_type=jnp.float32
-                                ).astype(jnp.bfloat16)
+        dh_stage[par] = jax.lax.dot_general(
+            dz, auxw_ref[0], cols,
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
         pltpu.make_async_copy(dh_stage.at[par],
                               dh_o.at[lr, b, pl.ds(m0, M)],
                               dh_sems.at[par]).start()
@@ -628,11 +636,11 @@ def _bwd_pallas(config, lw, x0, streams, st, hb, dskip, interpret=False):
                          lambda li, b, m, *_: (b, n_tiles - 1 - m, 0)),
             pl.BlockSpec((1, M, HA),
                          lambda li, b, m, *_: (b, n_tiles - 1 - m, 0)),
-            pl.BlockSpec((1, k, 2 * R, R),
+            pl.BlockSpec((1, k, R, 2 * R),
                          lambda li, b, m, *_: (L - 1 - li, 0, 0, 0)),
-            pl.BlockSpec((1, 2 * R, HA),
+            pl.BlockSpec((1, HA, 2 * R),
                          lambda li, b, m, *_: (L - 1 - li, 0, 0)),
-            pl.BlockSpec((1, S, R), lambda li, b, m, *_: (L - 1 - li, 0, 0)),
+            pl.BlockSpec((1, R, S), lambda li, b, m, *_: (L - 1 - li, 0, 0)),
             pl.BlockSpec((1, R, R), lambda li, b, m, *_: (L - 1 - li, 0, 0)),
         ],
         out_specs=[
@@ -683,7 +691,7 @@ def _bwd_pallas(config, lw, x0, streams, st, hb, dskip, interpret=False):
         ),
         interpret=interpret,
     )(shifts, x0, streams, st, dsk, hb,
-      dil_wT, aux_wT, skip_wT, res_wT)
+      dil_w, aux_w, skip_w, res_w)
 
     ddil_w, daux_w, dskip_w, dres_w, dzb, dres_b, dx0, dh_parts = outs[:8]
 
