@@ -111,16 +111,37 @@ def make_train_step(config: WaveNetConfig, lr: float = 1e-4,
 
             use_fused = (jax.default_backend() == "tpu"
                          and config.dtype == jnp.bfloat16
+                         and (mesh is None or mesh.shape.get("model", 1) == 1)
                          and supports_fused_train(config, batch_x.shape[1]))
 
-        def loss_fn(params):
-            logits = wavenet_forward(params, config, batch_x, batch_h,
+        def loss_fn(params, bx, bh, bt):
+            logits = wavenet_forward(params, config, bx, bh,
                                      remat=remat and not use_fused,
                                      bf16_intermediates=bf16_intermediates,
                                      fused=use_fused)
-            return masked_ce_loss(logits, batch_t, rf)
+            return masked_ce_loss(logits, bt, rf)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        if mesh is not None and use_fused:
+            # a pallas_call is not partitionable by XLA's sharding
+            # propagation (a jit-sharded batch would be gathered onto
+            # every device) — run grads under shard_map so each device's
+            # kernel sees only its local batch shard, then pmean
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def local_grads(params, bx, bh, bt):
+                loss, grads = jax.value_and_grad(loss_fn)(params, bx, bh, bt)
+                return (jax.lax.pmean(loss, "data"),
+                        jax.lax.pmean(grads, "data"))
+
+            loss, grads = shard_map(
+                local_grads, mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P("data")),
+                out_specs=(P(), P()), check_vma=False,
+            )(state.params, batch_x, batch_h, batch_t)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, batch_x, batch_h, batch_t)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params=params, opt_state=opt_state,

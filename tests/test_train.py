@@ -193,3 +193,42 @@ def test_bf16_intermediates_matches_f32():
         state, loss = step(state, bx, bh, bt)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.7, losses[::10]
+
+
+def test_mesh_fused_shardmap_matches_single(monkeypatch):
+    """Fused-under-mesh runs grads in shard_map (a pallas_call is not
+    partitionable by jit sharding propagation).  On the 8-device CPU
+    mesh with the kernel in interpret mode, the sharded fused step must
+    match the single-device fused step."""
+    from pytorchwavenetvocoder_tpu.ops import train_kernel as tk
+    from pytorchwavenetvocoder_tpu.parallel.mesh import make_mesh, shard_batch
+
+    orig = tk.fused_layer_stack
+    monkeypatch.setattr(
+        tk, "fused_layer_stack",
+        lambda p, c, s, h: orig(p, c, s, h, interpret=True))
+    import pytorchwavenetvocoder_tpu.models.wavenet as wn
+    monkeypatch.setattr(wn, "wavenet_forward", wn.wavenet_forward)
+
+    cfg = WaveNetConfig(n_quantize=256, n_aux=12, n_resch=128, n_skipch=128,
+                        dilation_depth=3, dilation_repeat=1, kernel_size=2,
+                        upsampling_factor=0, compute_dtype="bfloat16")
+    B, T = 8, 1700
+    rng = np.random.RandomState(3)
+    bx = rng.randint(0, 256, (B, T)).astype(np.int64)
+    bh = rng.randn(B, T, cfg.n_aux).astype(np.float32)
+
+    state0 = create_train_state(jax.random.PRNGKey(0), cfg, lr=1e-3)
+    single = make_train_step(cfg, lr=1e-3, donate=False, fused=True)
+    _, loss_single = single(state0, bx, bh, bx)
+
+    mesh = make_mesh(8, model_parallel=1)
+    meshed = make_train_step(cfg, lr=1e-3, mesh=mesh, fused=True)
+    sbx, sbh = shard_batch(mesh, (bx, bh))
+    state0m = jax.device_put(
+        create_train_state(jax.random.PRNGKey(0), cfg, lr=1e-3),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    _, loss_mesh = meshed(state0m, sbx, sbh, sbx)
+
+    np.testing.assert_allclose(float(loss_mesh), float(loss_single),
+                               rtol=2e-5)
