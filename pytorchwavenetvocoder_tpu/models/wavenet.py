@@ -390,24 +390,44 @@ def _pad_seed(config: WaveNetConfig, x: jnp.ndarray, h: jnp.ndarray):
 
 
 def _forward_collect(params: Params, config: WaveNetConfig,
-                     x: jnp.ndarray, h: jnp.ndarray):
+                     x: jnp.ndarray, h: jnp.ndarray,
+                     bf16_intermediates: bool = False):
     """Forward over the seed region, returning every layer's input stream.
 
     r[0] = causal-conv output, r[l+1] = layer l output; these fill the AR
     ring buffers (the warm-up of `wavenet.py:336-350`).
+
+    ``bf16_intermediates`` materializes the big matmul outputs in bf16
+    (f32 MXU accumulation, f32 gate) — the warm-up is HBM-bound on its
+    (B, T0, 2R) buffers, so this is ~2x at decode-fleet batch sizes.
+    Default f32 preserves the naive == scan == pallas bit-equality
+    invariant; the Pallas decode consumes the rings in bf16 anyway, so
+    its production path opts in (`batch_fast_generate(warmup_bf16=...)`).
     """
     c = config
     R = c.n_resch
     dt = c.dtype
+    mm_dt = dt if bf16_intermediates and dt == jnp.bfloat16 else None
     out = input_embed(x, params, c)
+    if mm_dt is not None:
+        out = out.astype(dt)
     h = h.astype(dt)
     streams = [out]
     for l, d in enumerate(c.dilations):
         z = causal_conv(out.astype(dt), params["dil"]["w"][l].astype(dt),
-                        params["dil"]["b"][l], d)
-        za = _dot(h, params["aux"]["w"][l].astype(dt)) + params["aux"]["b"][l]
+                        params["dil"]["b"][l], d, out_dtype=mm_dt)
+        za = _dot(h, params["aux"]["w"][l].astype(dt), mm_dt) + (
+            params["aux"]["b"][l].astype(mm_dt) if mm_dt is not None
+            else params["aux"]["b"][l])
+        if mm_dt is not None:
+            z = z.astype(jnp.float32)
+            za = za.astype(jnp.float32)
         g = _gate(z, za, R).astype(dt)
-        out = _dot(g, params["res"]["w"][l].astype(dt)) + params["res"]["b"][l] + out
+        if mm_dt is not None:
+            out = _dot(g, params["res"]["w"][l].astype(dt), mm_dt) + (
+                params["res"]["b"][l].astype(mm_dt)) + out
+        else:
+            out = _dot(g, params["res"]["w"][l].astype(dt))                 + params["res"]["b"][l] + out
         streams.append(out)
     return streams  # list of (B, T, R); last entry unused by buffers
 
@@ -447,9 +467,10 @@ def _buffer_layout(config: WaveNetConfig):
     return caps, [int(o) for o in offsets], total
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "bf16_intermediates"))
 def _warmup_state(params: Params, config: WaveNetConfig,
-                  x: jnp.ndarray, h_up: jnp.ndarray):
+                  x: jnp.ndarray, h_up: jnp.ndarray,
+                  bf16_intermediates: bool = False):
     """Run the teacher-forced forward over the seed region and pack the
     AR carry (ring buffers + sample history) for the scan decoder.
 
@@ -477,7 +498,8 @@ def _warmup_state(params: Params, config: WaveNetConfig,
     dil_w_past = params["dil"]["w"][:, 0].astype(dt) if proj_fwd else None
 
     def fill(x_chunk, h_chunk):
-        streams = _forward_collect(params, c, x_chunk, h_chunk)
+        streams = _forward_collect(params, c, x_chunk, h_chunk,
+                                   bf16_intermediates=bf16_intermediates)
         parts = []
         for l in range(L):
             cap = caps[l]
@@ -729,7 +751,8 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
                         x, h, n_samples_list, mode: str = "sampling",
                         rng: jax.Array | None = None, mesh=None,
                         impl: str = "scan", intervals: int | None = None,
-                        quantize: bool = False):
+                        quantize: bool = False,
+                        warmup_bf16: bool | None = None):
     """Batched fast AR generation (reference ``batch_fast_generate``,
     `wavenet.py:397-511`).
 
@@ -751,6 +774,11 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
       quantize: pallas path only — int8 MXU matmuls with warmup-
         calibrated static activation scales (~1.35x throughput, small
         logit error; see ops/ar_kernel.py).
+      warmup_bf16: materialize the warm-up forward's intermediates in
+        bf16 (~2x faster warm-up, HBM-bound at fleet batch sizes).
+        Default (None): on for the pallas path — its kernel consumes the
+        rings in bf16 anyway — and off for scan, which keeps the
+        naive == scan bit-equality invariant.
 
     Returns:
       list of np.int32 arrays, one per utterance in input order, each of
@@ -808,7 +836,9 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
 
         act_scales = (calibrate_act_scales(params, config, x, h)
                       if quantize else None)
-        carry = _warmup_state(params, config, x, h)
+        wb = (config.dtype == jnp.bfloat16 if warmup_bf16 is None
+              else warmup_bf16)
+        carry = _warmup_state(params, config, x, h, bf16_intermediates=wb)
         if mesh is None:
             samples = pallas_ar_generate(params, config, carry, h,
                                          x.shape[1], max_n, mode, rng,
