@@ -97,7 +97,11 @@ def translate_options(opts: dict, conf_options: dict, defaults: dict) -> list[st
 
     - an explicitly passed option that no config line matches is an
       ERROR (slurm.pl dies with "none of the config lines matched";
-      silently dropping e.g. --mem would submit without a memory limit);
+      silently dropping e.g. --mem would submit without a memory limit).
+      Caveat: a value equal to the runner default (``--gpu 0`` /
+      ``--num-threads 1``) cannot be distinguished from "not passed"
+      after parse_argv, so those specific values never trigger the
+      error;
     - a template may embed defaults for OTHER flags (the stock conf's
       ``option gpu=* ... --time 10-00:00:00``); since sbatch takes the
       LAST occurrence of a repeated flag, such embedded flags are

@@ -113,12 +113,16 @@ def compute_mcd(x_ref: np.ndarray, x_gen: np.ndarray, fs: int,
     mc_ref = stft_mcep(x_ref, fftl, shiftl, mcep_dim, mcep_alpha)
     mc_gen = stft_mcep(x_gen, fftl, shiftl, mcep_dim, mcep_alpha)
 
+    if power_threshold_db is not None:
+        ln = np.log(10.0) / 20.0  # c0 is log-gain (natural log)
+        thr_ref = mc_ref[:, 0].max() + power_threshold_db * ln
+        thr_gen = mc_gen[:, 0].max() + power_threshold_db * ln
+
     def keep_mask(i_ref, j_gen):
         if power_threshold_db is None:
             return np.ones(len(i_ref), bool)
-        ln = np.log(10.0) / 20.0  # c0 is log-gain (natural log)
-        ok_ref = mc_ref[i_ref, 0] >= mc_ref[:, 0].max() + power_threshold_db * ln
-        ok_gen = mc_gen[j_gen, 0] >= mc_gen[:, 0].max() + power_threshold_db * ln
+        ok_ref = mc_ref[i_ref, 0] >= thr_ref
+        ok_gen = mc_gen[j_gen, 0] >= thr_gen
         keep = ok_ref | ok_gen  # drop only both-silent pairs
         return keep if keep.any() else np.ones(len(i_ref), bool)
 

@@ -303,6 +303,12 @@ def wavenet_forward(params: Params, config: WaveNetConfig,
             fused_layer_stack,
         )
 
+        if c.dtype != jnp.bfloat16:
+            raise ValueError(
+                "fused=True requires compute_dtype='bfloat16' (the fused "
+                "kernels are inherently bf16; an f32 parity/debug run "
+                "must use the XLA path)")
+
         out = input_embed(x, params, c).astype(jnp.bfloat16)
         if c.upsampling_factor > 0:
             h = upsample_aux(params, c, h)
@@ -684,7 +690,8 @@ def _scan_from_state(params: Params, config: WaveNetConfig, carry,
 def _scan_generate(params: Params, config: WaveNetConfig,
                    x: jnp.ndarray, h_up: jnp.ndarray,
                    max_n: int, mode: str, rng: jax.Array,
-                   intervals: int | None = None) -> jnp.ndarray:
+                   intervals: int | None = None,
+                   warmup_bf16: bool = False) -> jnp.ndarray:
     """Full AR decode: warm-up + steady-state scan (two jit units so the
     one-time warm-up doesn't inflate or OOM the per-sample path).
 
@@ -695,7 +702,8 @@ def _scan_generate(params: Params, config: WaveNetConfig,
     import logging
     import time
 
-    carry = _warmup_state(params, config, x, h_up)
+    carry = _warmup_state(params, config, x, h_up,
+                          bf16_intermediates=warmup_bf16)
     T0 = x.shape[1]
     if not intervals or intervals >= max_n:
         return _scan_from_state(params, config, carry, h_up, T0,
@@ -851,7 +859,8 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
                                            act_scales=act_scales)
     else:
         samples = _scan_generate(params, config, x, h, max_n, mode, rng,
-                                 intervals=intervals)
+                                 intervals=intervals,
+                                 warmup_bf16=bool(warmup_bf16))
     samples = np.asarray(jax.device_get(samples))
     return [samples[b, : int(n)] for b, n in enumerate(n_samples_list)]
 

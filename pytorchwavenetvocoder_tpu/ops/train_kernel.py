@@ -93,7 +93,12 @@ def supports_fused_train(config, T: int) -> bool:
     if c.n_aux < 1:
         return False
     T_pad = _round_up(T, _TILE)
-    if T_pad // _TILE < 3:  # the DMA rotate-2 pattern needs >= 3 tiles
+    # The rotate-2 write-sem discipline only waits a staged cross-layer
+    # stream write two steps after it starts, while the NEXT layer's read
+    # of that tile is prefetched n_tiles-1 steps later: n_tiles >= 4
+    # keeps the read issue strictly after the write's wait.  (Training
+    # windows are ~40 tiles; this only excludes toy lengths.)
+    if T_pad // _TILE < 4:
         return False
     R, S, k = c.n_resch, c.n_skipch, c.kernel_size
     HA = _round_up(c.n_aux, 128)
@@ -320,6 +325,10 @@ def _fwd_pallas(config, lw, stream0, h_up, interpret=False):
             st_stage.at[par], st_out.at[l, b, pl.ds(m0, M)],
             st_sems.at[par]).start()
 
+        # layer L-1's stream is never read back (bwd reads slot lr-1,
+        # max L-2) but is still written: gating the DMA on l would break
+        # the rotate-2 sem cadence across the b boundary, and the write
+        # is 0.06% of the step at the flagship shape
         out_stage[par] = out
         pltpu.make_async_copy(
             out_stage.at[par], streams_out.at[l, b, pl.ds(m0, M)],

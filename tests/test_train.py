@@ -207,9 +207,6 @@ def test_mesh_fused_shardmap_matches_single(monkeypatch):
     monkeypatch.setattr(
         tk, "fused_layer_stack",
         lambda p, c, s, h: orig(p, c, s, h, interpret=True))
-    import pytorchwavenetvocoder_tpu.models.wavenet as wn
-    monkeypatch.setattr(wn, "wavenet_forward", wn.wavenet_forward)
-
     cfg = WaveNetConfig(n_quantize=256, n_aux=12, n_resch=128, n_skipch=128,
                         dilation_depth=3, dilation_repeat=1, kernel_size=2,
                         upsampling_factor=0, compute_dtype="bfloat16")

@@ -137,4 +137,4 @@ def test_supports_fused_train_gates():
     assert not tk.supports_fused_train(WaveNetConfig(
         n_resch=96, n_skipch=96), 20000)
     assert not tk.supports_fused_train(WaveNetConfig(kernel_size=4), 20000)
-    assert not tk.supports_fused_train(_small_cfg(), 900)  # < 3 tiles
+    assert not tk.supports_fused_train(_small_cfg(), 900)  # < 4 tiles
