@@ -503,9 +503,34 @@ def _warmup_state(params: Params, config: WaveNetConfig,
     proj_fwd = (k == 2)
     dil_w_past = params["dil"]["w"][:, 0].astype(dt) if proj_fwd else None
 
+    # bf16 mode on TPU: run the teacher-forced forward through the fused
+    # training-forward kernel in streams-only mode (ops/train_kernel.py,
+    # save_st=False) — its per-layer stream outputs are exactly what the
+    # ring fill consumes, and activations stay in VMEM tiles instead of
+    # materializing every layer's (B, T0, 2R) gate inputs to HBM
+    use_kernel = False
+    if bf16_intermediates and dt == jnp.bfloat16:
+        from pytorchwavenetvocoder_tpu.ops.train_kernel import (
+            supports_fused_train,
+        )
+
+        use_kernel = (jax.default_backend() == "tpu"
+                      and supports_fused_train(c, T0))
+
     def fill(x_chunk, h_chunk):
-        streams = _forward_collect(params, c, x_chunk, h_chunk,
-                                   bf16_intermediates=bf16_intermediates)
+        if use_kernel:
+            from pytorchwavenetvocoder_tpu.ops.train_kernel import (
+                _fwd_pallas,
+                _layer_weights,
+            )
+
+            out0 = input_embed(x_chunk, params, c).astype(jnp.bfloat16)
+            _, (_x0, s_arr, _st, _hb) = _fwd_pallas(
+                c, _layer_weights(params), out0, h_chunk, save_st=False)
+            streams = [out0] + [s_arr[l, :, :T0] for l in range(L - 1)]
+        else:
+            streams = _forward_collect(params, c, x_chunk, h_chunk,
+                                       bf16_intermediates=bf16_intermediates)
         parts = []
         for l in range(L):
             cap = caps[l]
@@ -526,6 +551,12 @@ def _warmup_state(params: Params, config: WaveNetConfig,
     # memory multiplies right back).  The chunk adapts to the receptive
     # field: ~64 rows at arctic's T0=3070, 32 at ljspeech's 6139.
     chunk = int(max(8, min(64, (200_000 // max(T0, 1)) // 8 * 8)))
+    if use_kernel:
+        # the kernel path materializes per-layer bf16 streams
+        # (L * chunk * T0 * R); cap the chunk so that stays ~3 GB
+        L_R = c.n_layers * c.n_resch * 2
+        chunk = int(max(8, min(chunk,
+                               (3 * 1024**3 // max(T0 * L_R, 1)) // 8 * 8)))
     if B <= chunk:
         act_buf = fill(x, h_up[:, :T0])
     elif B % chunk == 0:

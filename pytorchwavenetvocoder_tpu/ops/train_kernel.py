@@ -189,11 +189,16 @@ def ref_layer_stack(lw, config, stream0, h_up):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_pallas(config, lw, stream0, h_up, interpret=False):
+def _fwd_pallas(config, lw, stream0, h_up, interpret=False,
+                save_st=True):
     """Fused forward over the padded window.
 
     stream0 (B, T, R), h_up (B, T, A).  Returns
     (skip_sum (B,T,S) f32, residuals (x0, streams, st, hb)).
+
+    ``save_st=False`` skips the sigma/tanh saves and the skip-sum flush
+    (their outputs come back uninitialized): the mode for consumers that
+    only need the residual streams, like the decoder's ring warm-up.
     """
     c = config
     R, S, L, k = c.n_resch, c.n_skipch, c.n_layers, c.kernel_size
@@ -296,16 +301,17 @@ def _fwd_pallas(config, lw, stream0, h_up, interpret=False):
         t = jnp.tanh(z[:, R:])
         g = (s * t).astype(jnp.bfloat16)
 
-        sk = jnp.dot(g, skipw_ref[0],
-                     preferred_element_type=jnp.float32) + skipb_ref[0]
+        if save_st:  # the warm-up mode needs neither skips nor saves
+            sk = jnp.dot(g, skipw_ref[0],
+                         preferred_element_type=jnp.float32) + skipb_ref[0]
 
-        @pl.when(l == 0)
-        def _():
-            skip_acc[pl.ds(m0, M)] = sk
+            @pl.when(l == 0)
+            def _():
+                skip_acc[pl.ds(m0, M)] = sk
 
-        @pl.when(l > 0)
-        def _():
-            skip_acc[pl.ds(m0, M)] = skip_acc[pl.ds(m0, M)] + sk
+            @pl.when(l > 0)
+            def _():
+                skip_acc[pl.ds(m0, M)] = skip_acc[pl.ds(m0, M)] + sk
 
         out = (jnp.dot(g, resw_ref[0], preferred_element_type=jnp.float32)
                + resb_ref[0]
@@ -314,16 +320,18 @@ def _fwd_pallas(config, lw, stream0, h_up, interpret=False):
         # ---- stage + flush the per-layer saves ---------------------------
         @pl.when(gi >= 2)
         def _():
-            pltpu.make_async_copy(st_stage.at[par], st_stage.at[par],
-                                  st_sems.at[par]).wait()
+            if save_st:
+                pltpu.make_async_copy(st_stage.at[par], st_stage.at[par],
+                                      st_sems.at[par]).wait()
             pltpu.make_async_copy(out_stage.at[par], out_stage.at[par],
                                   out_sems.at[par]).wait()
 
-        st_stage[par, :, :R] = s.astype(jnp.bfloat16)
-        st_stage[par, :, R:] = t.astype(jnp.bfloat16)
-        pltpu.make_async_copy(
-            st_stage.at[par], st_out.at[l, b, pl.ds(m0, M)],
-            st_sems.at[par]).start()
+        if save_st:
+            st_stage[par, :, :R] = s.astype(jnp.bfloat16)
+            st_stage[par, :, R:] = t.astype(jnp.bfloat16)
+            pltpu.make_async_copy(
+                st_stage.at[par], st_out.at[l, b, pl.ds(m0, M)],
+                st_sems.at[par]).start()
 
         # layer L-1's stream is never read back (bwd reads slot lr-1,
         # max L-2) but is still written: gating the DMA on l would break
@@ -334,26 +342,30 @@ def _fwd_pallas(config, lw, stream0, h_up, interpret=False):
             out_stage.at[par], streams_out.at[l, b, pl.ds(m0, M)],
             out_sems.at[par]).start()
 
-        @pl.when(l == L - 1)
-        def _():
-            flush = pltpu.make_async_copy(
-                skip_acc.at[pl.ds(m0, M)], skip_out.at[b, pl.ds(m0, M)],
-                skip_sem)
-            flush.start()
-            flush.wait()
+        if save_st:
+            @pl.when(l == L - 1)
+            def _():
+                flush = pltpu.make_async_copy(
+                    skip_acc.at[pl.ds(m0, M)], skip_out.at[b, pl.ds(m0, M)],
+                    skip_sem)
+                flush.start()
+                flush.wait()
 
         # ---- drain staged writes at the very end --------------------------
         @pl.when(last)
         def _():
-            pltpu.make_async_copy(st_stage.at[par], st_stage.at[par],
-                                  st_sems.at[par]).wait()
+            if save_st:
+                pltpu.make_async_copy(st_stage.at[par], st_stage.at[par],
+                                      st_sems.at[par]).wait()
             pltpu.make_async_copy(out_stage.at[par], out_stage.at[par],
                                   out_sems.at[par]).wait()
 
             @pl.when(gi >= 1)
             def _():
-                pltpu.make_async_copy(st_stage.at[npar], st_stage.at[npar],
-                                      st_sems.at[npar]).wait()
+                if save_st:
+                    pltpu.make_async_copy(st_stage.at[npar],
+                                          st_stage.at[npar],
+                                          st_sems.at[npar]).wait()
                 pltpu.make_async_copy(out_stage.at[npar], out_stage.at[npar],
                                       out_sems.at[npar]).wait()
 
@@ -389,13 +401,18 @@ def _fwd_pallas(config, lw, stream0, h_up, interpret=False):
         ],
     )
 
+    # unwritten outputs in streams-only mode get token shapes so the
+    # (B, T_pad, 2R) sigma/tanh buffer is never allocated (it OOMs HBM
+    # at decode-fleet batch sizes)
+    skip_shape = (B, T_pad, S) if save_st else (1, 8, S)
+    st_shape = (L, B, T_pad, 2 * R) if save_st else (1, 1, 8, 2 * R)
     skip_sum, streams, st = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B, T_pad, S), jnp.float32),
+            jax.ShapeDtypeStruct(skip_shape, jnp.float32),
             jax.ShapeDtypeStruct((L, B, T_pad, R), jnp.bfloat16),
-            jax.ShapeDtypeStruct((L, B, T_pad, 2 * R), jnp.bfloat16),
+            jax.ShapeDtypeStruct(st_shape, jnp.bfloat16),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
@@ -403,6 +420,8 @@ def _fwd_pallas(config, lw, stream0, h_up, interpret=False):
         ),
         interpret=interpret,
     )(shifts, x0, hb, dil_w, aux_w, skip_w, res_w, zb, skip_b, res_b)
+    if not save_st:
+        return None, (x0, streams, st, hb)
     return skip_sum[:, :T], (x0, streams, st, hb)
 
 

@@ -138,3 +138,16 @@ def test_supports_fused_train_gates():
         n_resch=96, n_skipch=96), 20000)
     assert not tk.supports_fused_train(WaveNetConfig(kernel_size=4), 20000)
     assert not tk.supports_fused_train(_small_cfg(), 900)  # < 4 tiles
+
+
+def test_streams_only_mode_matches_full():
+    """save_st=False (the decoder warm-up mode) must produce identical
+    per-layer streams to the full training forward."""
+    cfg = _small_cfg()
+    _, lw, stream0, h_up = _data(cfg, B=1, T=2100)
+    _, (_, s_full, _, _) = tk._fwd_pallas(cfg, lw, stream0, h_up,
+                                          interpret=True)
+    out, (_, s_only, _, _) = tk._fwd_pallas(cfg, lw, stream0, h_up,
+                                            interpret=True, save_st=False)
+    assert out is None
+    np.testing.assert_array_equal(np.asarray(s_full), np.asarray(s_only))
