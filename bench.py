@@ -111,7 +111,7 @@ def main():
     # memoizes identical executions; run-to-run variance through the
     # tunnel is large, so take enough samples)
     times, times_bf16 = [], []
-    for k in range(1, 6):
+    for k in range(1, 8):
         t0 = time.time()
         np.asarray(decode_fn(carry, jax.random.PRNGKey(k)))
         times_bf16.append(time.time() - t0)
