@@ -71,6 +71,11 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--compute_dtype", default="bfloat16",
                         choices=["float32", "bfloat16"],
                         help="matmul dtype (accumulation stays f32)")
+    parser.add_argument("--fused", default="auto",
+                        choices=["auto", "true", "false"],
+                        help="fused Pallas train kernels "
+                             "(ops/train_kernel.py); auto = on for TPU "
+                             "when the config qualifies")
     parser.add_argument("--remat", default="auto",
                         choices=["auto", "true", "false"],
                         help="checkpoint residual layers in the backward "
@@ -216,9 +221,10 @@ def main(argv=None) -> None:
         remat = args.remat == "true"
     if remat:
         logging.info("remat enabled (large per-device batch).")
+    fused = {"auto": None, "true": True, "false": False}[args.fused]
     step_fn = make_train_step(config, lr=args.lr,
                               weight_decay=args.weight_decay, mesh=mesh,
-                              remat=remat)
+                              remat=remat, fused=fused)
 
     state = create_train_state(jax.random.PRNGKey(args.seed), config,
                                lr=args.lr, weight_decay=args.weight_decay)
