@@ -151,3 +151,32 @@ def test_streams_only_mode_matches_full():
                                             interpret=True, save_st=False)
     assert out is None
     np.testing.assert_array_equal(np.asarray(s_full), np.asarray(s_only))
+
+
+def test_fused_backward_odd_batch_and_tiles():
+    """Odd batch and odd tile counts exercise every grid-parity and
+    ring-slot wraparound combination in the backward's descending
+    iteration."""
+    cfg = _small_cfg()
+    _, lw, stream0, h_up = _data(cfg, B=3, T=5 * tk._TILE - 200)
+    rng = np.random.RandomState(4)
+    ct = jnp.asarray(rng.randn(*stream0.shape[:2], cfg.n_skipch), jnp.float32)
+
+    def loss_ref(lw, s0, h):
+        return jnp.sum(tk.ref_layer_stack(lw, cfg, s0, h) * ct)
+
+    def loss_fused(lw, s0, h):
+        return jnp.sum(tk._fused_stack(cfg, True, lw,
+                                       s0.astype(jnp.bfloat16),
+                                       h.astype(jnp.bfloat16)) * ct)
+
+    g_r = jax.grad(loss_ref, argnums=(0, 1))(lw, stream0, h_up)
+    g_f = jax.grad(loss_fused, argnums=(0, 1))(lw, stream0, h_up)
+    for name in g_r[0]:
+        a = np.asarray(g_r[0][name], np.float32)
+        b = np.asarray(g_f[0][name], np.float32)
+        cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-30)
+        assert cos > 0.9999, (name, cos)
+    a = np.asarray(g_r[1], np.float32)
+    b = np.asarray(g_f[1], np.float32)
+    assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 3e-2
