@@ -265,6 +265,17 @@ def _gate(z: jnp.ndarray, za: jnp.ndarray, R: int) -> jnp.ndarray:
     return jax.nn.sigmoid(s) * jnp.tanh(t)
 
 
+def _post_stack(params: Params, skip_sum: jnp.ndarray, dt) -> jnp.ndarray:
+    """ReLU -> 1x1 -> ReLU -> 1x1 to Q logits (reference
+    ``_postprocess``, `wavenet.py:518-523`)."""
+    post = jax.nn.relu(skip_sum)
+    post = jax.nn.relu(
+        _dot(post.astype(dt), params["post1"]["w"].astype(dt))
+        + params["post1"]["b"])
+    return (_dot(post.astype(dt), params["post2"]["w"].astype(dt))
+            + params["post2"]["b"])
+
+
 def wavenet_forward(params: Params, config: WaveNetConfig,
                     x: jnp.ndarray, h: jnp.ndarray,
                     remat: bool = False,
@@ -313,13 +324,7 @@ def wavenet_forward(params: Params, config: WaveNetConfig,
         if c.upsampling_factor > 0:
             h = upsample_aux(params, c, h)
         skip_sum = fused_layer_stack(params, c, out, h)
-        dt = jnp.bfloat16
-        post = jax.nn.relu(skip_sum)
-        post = jax.nn.relu(
-            _dot(post.astype(dt), params["post1"]["w"].astype(dt))
-            + params["post1"]["b"])
-        return (_dot(post.astype(dt), params["post2"]["w"].astype(dt))
-                + params["post2"]["b"])
+        return _post_stack(params, skip_sum, jnp.bfloat16)
 
     R = c.n_resch
     dt = c.dtype
@@ -370,11 +375,7 @@ def wavenet_forward(params: Params, config: WaveNetConfig,
             fn = jax.checkpoint(fn)
         out, skip_sum = fn(out, skip_sum, h, lw)
 
-    post = jax.nn.relu(skip_sum)
-    post = jax.nn.relu(_dot(post.astype(dt), params["post1"]["w"].astype(dt))
-                       + params["post1"]["b"])
-    logits = _dot(post.astype(dt), params["post2"]["w"].astype(dt)) + params["post2"]["b"]
-    return logits
+    return _post_stack(params, skip_sum, dt)
 
 
 # ---------------------------------------------------------------------------
@@ -554,9 +555,10 @@ def _warmup_state(params: Params, config: WaveNetConfig,
     if use_kernel:
         # the kernel path materializes per-layer bf16 streams
         # (L * chunk * T0 * R); cap the chunk so that stays ~3 GB
-        L_R = c.n_layers * c.n_resch * 2
-        chunk = int(max(8, min(chunk,
-                               (3 * 1024**3 // max(T0 * L_R, 1)) // 8 * 8)))
+        stream_bytes_per_row = c.n_layers * c.n_resch * 2
+        chunk = int(max(8, min(
+            chunk,
+            (3 * 1024**3 // max(T0 * stream_bytes_per_row, 1)) // 8 * 8)))
     if B <= chunk:
         act_buf = fill(x, h_up[:, :T0])
     elif B % chunk == 0:

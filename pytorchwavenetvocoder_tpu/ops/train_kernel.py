@@ -131,6 +131,20 @@ def _layer_weights(params):
     )
 
 
+
+def _kernel_weights(lw, HA: int):
+    """bf16 weight arrays in the layout both kernels consume (aux 1x1
+    zero-padded to the 128-aligned HA lane width)."""
+    L = lw["dil_w"].shape[0]
+    R2 = lw["dil_w"].shape[3]
+    dil_w = lw["dil_w"].astype(jnp.bfloat16)              # (L, k, R, 2R)
+    aux_w = jnp.zeros((L, HA, R2), jnp.bfloat16)
+    aux_w = aux_w.at[:, : lw["aux_w"].shape[1]].set(
+        lw["aux_w"].astype(jnp.bfloat16))
+    return (dil_w, aux_w, lw["skip_w"].astype(jnp.bfloat16),
+            lw["res_w"].astype(jnp.bfloat16))
+
+
 def _tap_shifts(config):
     """(L, max(k-1,1)) int32 tap shifts, oldest tap first (dil_w order)."""
     k = config.kernel_size
@@ -452,11 +466,7 @@ def _bwd_pallas(config, lw, x0, streams, st, hb, dskip, interpret=False):
     # the dx chain contracts against the UNtransposed weights via
     # dot_general dimension numbers — no transposed copies (those cost
     # ~2.3 ms/step of pure data formatting at the flagship shapes)
-    dil_w = lw["dil_w"].astype(jnp.bfloat16)              # (L, k, R, 2R)
-    aux_w = jnp.zeros((L, HA, 2 * R), jnp.bfloat16)
-    aux_w = aux_w.at[:, :A].set(lw["aux_w"].astype(jnp.bfloat16))
-    skip_w = lw["skip_w"].astype(jnp.bfloat16)            # (L, R, S)
-    res_w = lw["res_w"].astype(jnp.bfloat16)              # (L, R, R)
+    dil_w, aux_w, skip_w, res_w = _kernel_weights(lw, HA)
     shifts = _tap_shifts(c)
 
     rows = (((0,), (0,)), ((), ()))  # dot_general: contract over rows
