@@ -33,9 +33,15 @@ Shifted taps never touch HBM at unaligned offsets (Mosaic requires
 recent (M, .) tiles** and a tap at arbitrary dynamic shift is realized
 as ``pltpu.roll`` (a dynamic rotate) of the ring followed by a static
 slice.  Ring slots not yet written this layer read as zeros, which is
-exactly the causal zero-padding semantics.  The rings are f32 (Mosaic's
-dynamic rotate requires 32-bit data); tile DMAs land in a bf16 staging
-buffer and are VPU-cast into the ring.
+exactly the causal zero-padding semantics.  Mosaic's dynamic rotate
+requires 32-bit data; the backward ring stores f32, while the forward
+ring stores bf16 rows **sublane-packed in pairs into int32**
+(``pltpu.bitcast``) so its per-tap rotate moves half the bytes — the
+rolls were measured to be the forward kernel's entire overhead
+(~3.3 ms/step; the backward's overlap under its independent
+weight-grad matmuls).  An odd shift needs rows from both halves of
+adjacent packed words: one rotate plus a 16-bit shift/or recombine of
+the rotation and its one-row-offset slice reconstructs it.
 
 Unlike remat (which re-materializes the recomputed intermediates to HBM
 and was measured ~15% SLOWER here), saving only the bf16 streams +
@@ -104,9 +110,9 @@ def supports_fused_train(config, T: int) -> bool:
     HA = _round_up(c.n_aux, 128)
     M = _TILE
     KH = _hist_tiles(config)
-    # fwd high-water: resident f32 skip accumulator + f32 tap ring
+    # fwd high-water: resident f32 skip accumulator + packed tap ring
     fwd = (T_pad * S * 4
-           + KH * M * R * 4 + 4 * M * R * 2 + 2 * M * 2 * R * 2
+           + KH * M * R * 2 + 4 * M * R * 2 + 2 * M * 2 * R * 2
            + 2 * (k * R * 2 * R + HA * 2 * R + R * S + R * R) * 2
            + 10 * M * 2 * R * 4)
     # bwd high-water: per-layer f32 weight-grad blocks + tiles + dz ring
@@ -295,17 +301,26 @@ def _fwd_pallas(config, lw, stream0, h_up, interpret=False,
 
         # ---- compute the tile -------------------------------------------
         x_cur = x_land[par]
-        ring[pl.ds(pl.multiple_of(_rem(m, NR) * M, M), M)] = (
-            x_cur.astype(jnp.float32))
+        M2 = M // 2
+        ring[pl.ds(pl.multiple_of(_rem(m, NR) * M2, M2), M2)] = (
+            pltpu.bitcast(x_cur, jnp.int32))
         z = jnp.dot(x_cur, dilw_ref[0, k - 1],
                     preferred_element_type=jnp.float32)
         for j in range(k - 1):
             # tap rows [m0 - shift, m0 - shift + M) live in the ring at
-            # linear position (m0 - shift) mod (NR * M); a dynamic rotate
-            # + static slice extracts them (zeros where not yet written)
+            # logical position n = (m0 - shift) mod (NR * M); rows are
+            # packed in sublane pairs (even row = low 16 bits), so one
+            # half-size rotate by ceil(n/2) recovers them — odd n takes
+            # each word's high half and its successor's low half
             n = _rem(
                 _rem(shift_ref[l, j] - m0, NR * M) + NR * M, NR * M)
-            y = pltpu.roll(ring[...], n, 0)[:M].astype(jnp.bfloat16)
+            r1 = pltpu.roll(ring[...], (n + 1) // 2, 0)
+            y_even = r1[:M2]
+            y_odd = jax.lax.bitwise_or(
+                jax.lax.shift_right_logical(r1[:M2], jnp.int32(16)),
+                jax.lax.shift_left(r1[1:M2 + 1], jnp.int32(16)))
+            y = pltpu.bitcast(
+                jnp.where(_rem(n, 2) == 1, y_odd, y_even), jnp.bfloat16)
             z = z + jnp.dot(y, dilw_ref[0, j],
                             preferred_element_type=jnp.float32)
         z = z + jnp.dot(h_ref[0], auxw_ref[0],
@@ -404,7 +419,7 @@ def _fwd_pallas(config, lw, stream0, h_up, interpret=False,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, M, R), jnp.bfloat16),        # x_land
-            pltpu.VMEM((NR * M, R), jnp.float32),       # ring
+            pltpu.VMEM((NR * M // 2, R), jnp.int32),    # packed ring
             pltpu.VMEM((2, M, R), jnp.bfloat16),        # out_stage
             pltpu.VMEM((2, M, 2 * R), jnp.bfloat16),    # st_stage
             pltpu.VMEM((T_pad, S), jnp.float32),        # skip_acc
