@@ -107,18 +107,28 @@ def main():
     jax.block_until_ready(carry)
     warmup_s = time.time() - t0
 
-    # steady state, best of 5 with distinct keys (the axon runtime
+    # steady state, best of N with distinct keys (the axon runtime
     # memoizes identical executions; run-to-run variance through the
-    # tunnel is large, so take enough samples)
+    # tunnel is large, so take enough samples).  A second round runs
+    # after a pause: a degraded chip/tunnel window was observed to
+    # persist for a whole measurement loop (~18% slow, both dtypes) and
+    # then clear — two separated rounds protect the recorded number.
     times, times_bf16 = [], []
-    for k in range(1, 8):
-        t0 = time.time()
-        np.asarray(decode_fn(carry, jax.random.PRNGKey(k)))
-        times_bf16.append(time.time() - t0)
-        if use_int8:
+
+    def measure_round(base_key):
+        for k in range(base_key, base_key + 7):
             t0 = time.time()
-            np.asarray(decode_fn(carry, jax.random.PRNGKey(k), True, scales))
-            times.append(time.time() - t0)
+            np.asarray(decode_fn(carry, jax.random.PRNGKey(k)))
+            times_bf16.append(time.time() - t0)
+            if use_int8:
+                t0 = time.time()
+                np.asarray(decode_fn(carry, jax.random.PRNGKey(k), True,
+                                     scales))
+                times.append(time.time() - t0)
+
+    measure_round(1)
+    time.sleep(3.0)
+    measure_round(100)
     elapsed_bf16 = min(times_bf16)
     elapsed = min(times) if use_int8 else elapsed_bf16
 

@@ -509,8 +509,11 @@ def _warmup_state(params: Params, config: WaveNetConfig,
     # save_st=False) — its per-layer stream outputs are exactly what the
     # ring fill consumes, and activations stay in VMEM tiles instead of
     # materializing every layer's (B, T0, 2R) gate inputs to HBM
+    import os as _os
+
     use_kernel = False
-    if bf16_intermediates and dt == jnp.bfloat16:
+    if (bf16_intermediates and dt == jnp.bfloat16
+            and _os.environ.get("WN_WARMUP_KERNEL", "1") == "1"):
         from pytorchwavenetvocoder_tpu.ops.train_kernel import (
             supports_fused_train,
         )
