@@ -312,6 +312,7 @@ def wavenet_forward(params: Params, config: WaveNetConfig,
     if fused:
         from pytorchwavenetvocoder_tpu.ops.train_kernel import (
             fused_layer_stack,
+            fused_train_constraint_error,
         )
 
         if c.dtype != jnp.bfloat16:
@@ -319,6 +320,12 @@ def wavenet_forward(params: Params, config: WaveNetConfig,
                 "fused=True requires compute_dtype='bfloat16' (the fused "
                 "kernels are inherently bf16; an f32 parity/debug run "
                 "must use the XLA path)")
+        why_not = fused_train_constraint_error(c, x.shape[1])
+        if why_not is not None:
+            raise ValueError(
+                f"fused=True but this config/window is outside the fused "
+                f"kernels' validated envelope: {why_not}. Use the XLA "
+                "path (fused=False / --fused false) instead.")
 
         out = input_embed(x, params, c).astype(jnp.bfloat16)
         if c.upsampling_factor > 0:

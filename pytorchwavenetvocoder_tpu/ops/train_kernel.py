@@ -89,15 +89,23 @@ def _hist_tiles(config) -> int:
     return 1 + -(-max_shift // _TILE)  # current tile + ceil(shift / M)
 
 
-def supports_fused_train(config, T: int) -> bool:
-    """Whether the fused train kernels can run this config/window length."""
+def fused_train_constraint_error(config, T: int) -> str | None:
+    """Why the fused train kernels can NOT run this config/window.
+
+    Returns a human-readable reason, or None when the config qualifies.
+    ``supports_fused_train`` is the boolean view; CLIs that let the user
+    force ``fused=True`` should surface this string instead of running
+    the kernel outside its validated envelope (the n_tiles >= 4 DMA
+    cadence in particular would be a silent data race, not an error).
+    """
     c = config
     if c.kernel_size not in (2, 3):
-        return False
+        return f"kernel_size={c.kernel_size} (fused kernels support 2 or 3)"
     if c.n_resch % 128 != 0 or c.n_skipch % 128 != 0:
-        return False
+        return (f"n_resch={c.n_resch}/n_skipch={c.n_skipch} must be "
+                "multiples of 128 (MXU lane tiling)")
     if c.n_aux < 1:
-        return False
+        return "n_aux=0 (fused kernels require at least one aux channel)"
     T_pad = _round_up(T, _TILE)
     # The rotate-2 write-sem discipline only waits a staged cross-layer
     # stream write two steps after it starts, while the NEXT layer's read
@@ -105,7 +113,8 @@ def supports_fused_train(config, T: int) -> bool:
     # keeps the read issue strictly after the write's wait.  (Training
     # windows are ~40 tiles; this only excludes toy lengths.)
     if T_pad // _TILE < 4:
-        return False
+        return (f"window T={T} pads to {T_pad // _TILE} tiles of {_TILE}; "
+                "the kernel's DMA cadence requires >= 4 tiles")
     R, S, k = c.n_resch, c.n_skipch, c.kernel_size
     HA = _round_up(c.n_aux, 128)
     M = _TILE
@@ -119,7 +128,16 @@ def supports_fused_train(config, T: int) -> bool:
     bwd = (2 * (k * R * 2 * R + HA * 2 * R + R * S + R * R) * (4 + 2)
            + KH * M * 2 * R * 4
            + (10 + 2 * k) * M * 2 * R * 4)
-    return max(fwd, bwd) < VMEM_BUDGET_BYTES
+    if max(fwd, bwd) >= VMEM_BUDGET_BYTES:
+        return (f"VMEM high-water {max(fwd, bwd) / 2**20:.0f} MiB exceeds "
+                f"the {VMEM_BUDGET_BYTES / 2**20:.0f} MiB budget at this "
+                "config/window size")
+    return None
+
+
+def supports_fused_train(config, T: int) -> bool:
+    """Whether the fused train kernels can run this config/window length."""
+    return fused_train_constraint_error(config, T) is None
 
 
 

@@ -126,6 +126,15 @@ def make_train_step(config: WaveNetConfig, lr: float = 1e-4,
             # propagation (a jit-sharded batch would be gathered onto
             # every device) — run grads under shard_map so each device's
             # kernel sees only its local batch shard, then pmean
+            if mesh.shape.get("model", 1) != 1:
+                # the pmean below reduces only over "data"; a model axis
+                # > 1 would leave gradients silently divergent across it
+                # (the auto path already excludes this; the explicit
+                # fused=True path must too)
+                raise ValueError(
+                    "fused=True requires mesh model axis == 1 (got "
+                    f"{mesh.shape.get('model', 1)}): the fused shard_map "
+                    "branch reduces gradients over the 'data' axis only")
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
 

@@ -48,7 +48,10 @@ head -8 data/ev_slt/feats.scp > smoke_feats.scp
 PYTHONPATH=$PRJ_ROOT:${PYTHONPATH:-} python - <<'EOF'
 import os, sys
 import numpy as np
-from pytorchwavenetvocoder_tpu.eval.mcd import mcd_from_wavs
+from pytorchwavenetvocoder_tpu.eval.mcd import mcd_from_wavs as _mcd
+# pin the metric definition: DTW-aligned (the instrument these
+# baselines were recorded with), not whatever the default becomes
+mcd_from_wavs = lambda a, b: _mcd(a, b, align="dtw")
 from pytorchwavenetvocoder_tpu.utils import read_wav, write_wav
 
 gen_dir, ref_dir = "exp/tr_arctic_smoke/wav_nsf", "wav_hpf/ev_slt"

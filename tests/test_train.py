@@ -229,3 +229,54 @@ def test_mesh_fused_shardmap_matches_single(monkeypatch):
 
     np.testing.assert_allclose(float(loss_mesh), float(loss_single),
                                rtol=2e-5)
+
+
+def test_fused_forced_outside_envelope_raises():
+    """Explicitly forcing fused=True on a config/window outside the
+    kernels' validated envelope must raise (naming the constraint), not
+    silently run the kernel into its documented DMA race (the n_tiles>=4
+    cadence) or an unaligned-channel failure."""
+    import pytest
+
+    # T too short: pads to < 4 tiles of 512
+    cfg = WaveNetConfig(n_quantize=256, n_aux=12, n_resch=128, n_skipch=128,
+                        dilation_depth=3, dilation_repeat=1, kernel_size=2,
+                        upsampling_factor=0, compute_dtype="bfloat16")
+    state = create_train_state(jax.random.PRNGKey(0), cfg, lr=1e-3)
+    B, T = 2, 600
+    rng = np.random.RandomState(0)
+    bx = rng.randint(0, 256, (B, T)).astype(np.int64)
+    bh = rng.randn(B, T, cfg.n_aux).astype(np.float32)
+    step = make_train_step(cfg, lr=1e-3, donate=False, fused=True)
+    with pytest.raises(ValueError, match="tiles"):
+        step(state, bx, bh, bx)
+
+    # non-128-multiple channels
+    cfg2 = WaveNetConfig(n_quantize=256, n_aux=12, n_resch=64, n_skipch=64,
+                         dilation_depth=3, dilation_repeat=1, kernel_size=2,
+                         upsampling_factor=0, compute_dtype="bfloat16")
+    state2 = create_train_state(jax.random.PRNGKey(0), cfg2, lr=1e-3)
+    bh2 = rng.randn(B, 2100, cfg2.n_aux).astype(np.float32)
+    bx2 = rng.randint(0, 256, (B, 2100)).astype(np.int64)
+    step2 = make_train_step(cfg2, lr=1e-3, donate=False, fused=True)
+    with pytest.raises(ValueError, match="128"):
+        step2(state2, bx2, bh2, bx2)
+
+
+def test_fused_forced_on_model_axis_mesh_raises():
+    """fused=True forced on a mesh with a model axis > 1 must raise: the
+    fused shard_map branch pmeans gradients over 'data' only."""
+    import pytest
+    from pytorchwavenetvocoder_tpu.parallel.mesh import make_mesh
+
+    cfg = WaveNetConfig(n_quantize=256, n_aux=12, n_resch=128, n_skipch=128,
+                        dilation_depth=3, dilation_repeat=1, kernel_size=2,
+                        upsampling_factor=0, compute_dtype="bfloat16")
+    mesh = make_mesh(8, model_parallel=2)
+    state = create_train_state(jax.random.PRNGKey(0), cfg, lr=1e-3)
+    rng = np.random.RandomState(0)
+    bx = rng.randint(0, 256, (4, 2100)).astype(np.int64)
+    bh = rng.randn(4, 2100, cfg.n_aux).astype(np.float32)
+    step = make_train_step(cfg, lr=1e-3, mesh=mesh, fused=True)
+    with pytest.raises(ValueError, match="model axis"):
+        step(state, bx, bh, bx)
