@@ -1,146 +1,141 @@
 #!/bin/bash
-############################################################
-#         DEMO SCRIPT TO BUILD SD WAVENET VOCODER          #
-############################################################
-
-# TPU-native WaveNet vocoder recipe (7-stage pipeline; stage-for-stage
-# equivalent of the reference kan-bayashi/PytorchWaveNetVocoder recipe).
+# arctic/sd-mini — tiny demo vocoder on a 36-utterance Arctic subset
+#
+# TPU-native WaveNet vocoder recipe (pytorchwavenetvocoder_tpu).
+# Seven pipeline stages, selected by digit:
+#     ./run.sh --stage 0123456      # everything
+#     ./run.sh --stage 45           # just train + decode
+# Every variable in the settings block below can be overridden from the
+# command line as --variable-name value (see parse_options.sh).
+#
+# Stage layout, variable names, and tool flag surface stay compatible
+# with the kan-bayashi/PytorchWaveNetVocoder recipes (Apache-2.0); the
+# tools themselves run on TPU via JAX/XLA.
 
 . ./path.sh || exit 1;
 . ./cmd.sh || exit 1;
 
-# USER SETTINGS {{{
-#######################################
-#           STAGE SETTING             #
-#######################################
+# stage digits: 0 prepare data | 1 extract features | 2 feature stats
+#               3 noise weighting | 4 train | 5 decode | 6 noise restore
 stage=0123456
-# 0: data preparation step
-# 1: feature extraction step
-# 2: statistics calculation step
-# 3: noise weighting step
-# 4: training step
-# 5: decoding step
-# 6: noise shaping step
+
+# wants N  <=>  digit N appears in ${stage}
+wants() { [[ ${stage} == *"$1"* ]]; }
+
+banner() {
+    echo ""
+    echo "========== stage $1 : $2 =========="
+}
 
 
-#######################################
-#          FEATURE SETTING            #
-#######################################
-feature_type=world  # world or melspc (fixed in this recipe)
-spk=slt  # target speaker
-minf0=""               # minimum f0 (if not set, conf/*.f0 will be used)
-maxf0=""               # maximum f0 (if not set, conf/*.f0 will be used)
-shiftms=5              # shift length in msec
-fftl=1024              # fft length
-highpass_cutoff=70     # highpass filter cutoff frequency (0 = off)
-fs=16000               # sampling rate
-mcep_dim=24            # dimension of mel-cepstrum
-mcep_alpha=0.41       # alpha value of mel-cepstrum
-use_noise_shaping=true # whether to use noise shaping
-mag=0.5                # strength of noise shaping (0.0 < mag <= 1.0)
-n_jobs=10              # number of parallel jobs
+# --- analysis settings -------------------------------------------------
+feature_type=world     # this recipe is wired for world features
+spk=slt                # target speaker
+minf0=""               # f0 search floor, Hz (empty: read conf/<spk>.f0)
+maxf0=""               # f0 search ceiling, Hz (empty: read conf/<spk>.f0)
+shiftms=5              # analysis frame shift, ms
+fftl=1024              # analysis FFT size
+highpass_cutoff=70     # pre-filter cutoff, Hz (0 disables)
+fs=16000               # waveform sampling rate, Hz
+mcep_dim=24            # mel-cepstrum order
+mcep_alpha=0.41        # frequency-warping alpha for this fs
+use_noise_shaping=true # mel-cepstral noise weighting/restoration
+mag=0.5                # noise-shaping strength, 0 < mag <= 1
+n_jobs=10              # host worker processes for preprocessing
 
-#######################################
-#          TRAINING SETTING           #
-#######################################
-n_devices=1               # number of TPU devices (data-parallel mesh)
-n_quantize=256            # number of quantization of waveform
-n_aux=28                  # number of auxiliary features
-n_resch=32               # number of residual channels
-n_skipch=16              # number of skip channels
-dilation_depth=5         # dilation depth
-dilation_repeat=1         # number of dilation repeats
-kernel_size=2             # kernel size of dilated convolution
-lr=1e-4                   # learning rate
-weight_decay=0.0          # weight decay coef
-iters=1000              # number of iterations
-batch_length=10000        # batch length
-batch_size=1              # batch size
-checkpoint_interval=100 # save model per this number
-use_upsampling=true       # whether to use upsampling layer
-resume=""                 # checkpoint path to resume (Optional)
+# --- network & training settings ---------------------------------------
+n_devices=1             # TPU chips in the data-parallel mesh
+n_quantize=256          # mu-law classes (waveform quantization levels)
+n_aux=28                # conditioning feature channels
+n_resch=32              # residual stream width
+n_skipch=16             # skip stream width
+dilation_depth=5        # dilations run 2^0 .. 2^(depth-1)
+dilation_repeat=1       # times the dilation ladder repeats
+kernel_size=2           # causal conv taps per layer
+lr=1e-4                 # Adam learning rate
+weight_decay=0.0        # L2-on-gradient coefficient (torch-Adam style)
+iters=1000              # total training steps
+batch_length=10000      # waveform samples per training window
+batch_size=1            # windows per training batch
+checkpoint_interval=100 # steps between saved checkpoints
+use_upsampling=true     # learned frame->sample upsampler (vs repetition)
+resume=""               # checkpoint to continue from, or 'latest' (empty: fresh)
 
-#######################################
-#          DECODING SETTING           #
-#######################################
-outdir=""            # directory to save decoded wav dir (Optional)
-checkpoint=""        # checkpoint path to be used for decoding (Optional)
-config=""            # model configuration path (Optional)
-stats=""             # statistics path (Optional)
-feats=""             # list or directory of feature files (Optional)
-decode_batch_size=4 # batch size in decoding
+# --- decoding settings -------------------------------------------------
+outdir=""           # where decoded wavs go (empty: <expdir>/wav)
+checkpoint=""       # checkpoint to decode with (empty: final)
+config=""           # model config path (empty: next to checkpoint)
+stats=""            # feature stats path (empty: next to checkpoint)
+feats=""            # feature list/dir to decode (empty: eval set)
+decode_batch_size=4 # utterances per batched AR decode fleet
 
-#######################################
-#            OTHER SETTING            #
-#######################################
-download_dir=downloads # download directory to save corpus
-download_url="https://drive.google.com/open?id=1NIia89CL2qqqDzNNc718wycRmI_jkLxR" # google drive URL of the mini corpus
-tag=""                   # tag for network directory naming (Optional)
+# --- corpus & misc settings --------------------------------------------
+download_dir=downloads                                                            # where the mini corpus is unpacked
+download_url="https://drive.google.com/open?id=1NIia89CL2qqqDzNNc718wycRmI_jkLxR" # google drive id of the mini corpus
+tag=""                                                                            # free-form experiment-dir suffix (skips hparam encoding)
 
-# parse options
+# command-line overrides for everything above
 . parse_options.sh || exit 1;
 
-# set directory names
+# data subdirectories carry the speaker id
 train=tr_${spk}
 eval=ev_${spk}
 
-# stop when error occurred
+# abort the pipeline on the first failing command
 set -euo pipefail
-# }}}
 
 
-# STAGE 0 {{{
-if echo ${stage} | grep -q 0; then
-    echo "###########################################################"
-    echo "#                 DATA PREPARATION STEP                   #"
-    echo "###########################################################" 
-    if [ ! -e ${download_dir}/.done ];then
+if wants 0; then
+    banner 0 "data preparation"
+    # fetch the 36-utterance mini corpus (google drive)
+    if [ ! -e "${download_dir}/.done" ]; then
         download_from_google_drive.sh "${download_url}" ${download_dir} tar.gz
         touch ${download_dir}/.done
-        echo "database is successfully downloaded."
+        echo "mini corpus download finished."
     fi
     mkdir -p data/local "data/${train}" "data/${eval}"
     find "${download_dir}/cmu_us_${spk}_arctic_mini/wav" -name "*.wav" \
         | sort > "data/local/wav.${spk}.scp"
+    # fixed split: first 32 utterances train, last 4 evaluate
     head -n 32 "data/local/wav.${spk}.scp" > "data/${train}/wav.scp"
     tail -n 4 "data/local/wav.${spk}.scp" > "data/${eval}/wav.scp"
-    echo "#training = $(wc -l < data/${train}/wav.scp), #evaluation = $(wc -l < data/${eval}/wav.scp)"
+    echo "split: $(wc -l < data/${train}/wav.scp) train / $(wc -l < data/${eval}/wav.scp) eval utterances"
 
 fi
-# }}}
 
 
-# STAGE 1 {{{
-if echo ${stage} | grep -q 1; then
-    echo "###########################################################"
-    echo "#               FEATURE EXTRACTION STEP                   #"
-    echo "###########################################################"
-    [ ! -n "${minf0}" ] && minf0=$(awk '{print $1}' conf/${spk}.f0)
-    [ ! -n "${maxf0}" ] && maxf0=$(awk '{print $2}' conf/${spk}.f0)
-    for set in ${train} ${eval};do
+if wants 1; then
+    banner 1 "feature extraction"
+    # per-speaker f0 search range ships in conf/<spk>.f0
+    [ -z "${minf0}" ] && minf0=$(awk '{print $1}' conf/${spk}.f0)
+    [ -z "${maxf0}" ] && maxf0=$(awk '{print $2}' conf/${spk}.f0)
+    feat_opts=(
+        --feature_type "${feature_type}"
+        --fs "${fs}"
+        --shiftms "${shiftms}"
+        --minf0 "${minf0}"
+        --maxf0 "${maxf0}"
+        --mcep_dim "${mcep_dim}"
+        --mcep_alpha "${mcep_alpha}"
+        --highpass_cutoff "${highpass_cutoff}"
+        --fftl "${fftl}"
+        --n_jobs "${n_jobs}"
+    )
+    for set in ${train} ${eval}; do
         ${train_cmd} --num-threads ${n_jobs} exp/feature_extract/feature_extract_${set}.log \
             feature_extract.py \
                 --waveforms data/${set}/wav.scp \
                 --wavdir wav_hpf/${set} \
                 --hdf5dir hdf5/${set} \
-                --feature_type ${feature_type} \
-                --fs ${fs} \
-                --shiftms ${shiftms} \
-                --minf0 "${minf0}" \
-                --maxf0 "${maxf0}" \
-                --mcep_dim ${mcep_dim} \
-                --mcep_alpha ${mcep_alpha} \
-                --highpass_cutoff ${highpass_cutoff} \
-                --fftl ${fftl} \
-                --n_jobs ${n_jobs}
+                "${feat_opts[@]}"
 
-        # check the number of feature files
+        # report extraction coverage
         n_wavs=$(wc -l < data/${set}/wav.scp)
         n_feats=$(find hdf5/${set} -name "*.h5" | wc -l)
-        echo "${n_feats}/${n_wavs} files are successfully processed."
+        echo "${set}: features extracted for ${n_feats} of ${n_wavs} utterances"
 
-        # make scp files
-        if [ ${highpass_cutoff} -eq 0 ];then
+        # refresh list files for the downstream stages
+        if (( highpass_cutoff == 0 )); then
             cp data/${set}/wav.scp data/${set}/wav_hpf.scp
         else
             find wav_hpf/${set} -name "*.wav" | sort > data/${set}/wav_hpf.scp
@@ -148,29 +143,24 @@ if echo ${stage} | grep -q 1; then
         find hdf5/${set} -name "*.h5" | sort > data/${set}/feats.scp
     done
 fi
-# }}}
 
 
-# STAGE 2 {{{
-if echo ${stage} | grep -q 2; then
-    echo "###########################################################"
-    echo "#              CALCULATE STATISTICS STEP                  #"
-    echo "###########################################################"
+if wants 2; then
+    banner 2 "feature statistics"
+    # streaming mean/scale over the training set -> stats.h5
     ${train_cmd} exp/calculate_statistics/calc_stats_${train}.log \
         calc_stats.py \
             --feats data/${train}/feats.scp \
             --stats data/${train}/stats.h5 \
             --feature_type ${feature_type}
-    echo "statistics are successfully calculated."
+    echo "wrote data/${train}/stats.h5"
 fi
-# }}}
 
 
-# STAGE 3 {{{
-if echo ${stage} | grep -q 3 && ${use_noise_shaping}; then
-    echo "###########################################################"
-    echo "#                  NOISE WEIGHTING STEP                   #"
-    echo "###########################################################"
+if wants 3 && ${use_noise_shaping}; then
+    banner 3 "noise weighting of training waveforms"
+    # inverse MLSA filter (--inv true) pre-emphasizes training audio so
+    # the model's quantization noise lands under the masking threshold
     ${train_cmd} --num-threads ${n_jobs} exp/noise_shaping/noise_shaping_apply_${train}.log \
         noise_shaping.py \
             --waveforms data/${train}/wav_hpf.scp \
@@ -188,34 +178,27 @@ if echo ${stage} | grep -q 3 && ${use_noise_shaping}; then
 
     find wav_nwf/${train} -name "*.wav" | sort > data/${train}/wav_nwf.scp
 fi
-# }}}
 
 
-# STAGE 4 {{{
-# set variables
-if [ ! -n "${tag}" ];then
+# the experiment dir name encodes every hyperparameter so differently
+# configured runs never collide; --tag overrides the whole encoding
+if [ -z "${tag}" ]; then
     expdir=exp/tr_arctic_mini_16k_sd_${feature_type}_${spk}_nq${n_quantize}_na${n_aux}_nrc${n_resch}_nsc${n_skipch}_ks${kernel_size}_dp${dilation_depth}_dr${dilation_repeat}_lr${lr}_wd${weight_decay}_bl${batch_length}_bs${batch_size}
-    if ${use_noise_shaping};then
-        expdir=${expdir}_ns
-    fi
-    if ${use_upsampling};then
-        expdir=${expdir}_up
-    fi
+    if ${use_noise_shaping}; then expdir=${expdir}_ns; fi
+    if ${use_upsampling}; then expdir=${expdir}_up; fi
 else
     expdir=exp/tr_arctic_mini_${tag}
 fi
-if echo ${stage} | grep -q 4; then
-    echo "###########################################################"
-    echo "#               WAVENET TRAINING STEP                     #"
-    echo "###########################################################"
-    if ${use_noise_shaping};then
+if wants 4; then
+    banner 4 "wavenet training"
+    if ${use_noise_shaping}; then
         waveforms=data/${train}/wav_nwf.scp
     else
         waveforms=data/${train}/wav_hpf.scp
     fi
     upsampling_factor=$(python3 -c "print(int(${shiftms} * ${fs} / 1000 + 0.5))")
-    [ ! -e ${expdir}/log ] && mkdir -p ${expdir}/log
-    [ ! -e ${expdir}/stats.h5 ] && cp -v data/${train}/stats.h5 ${expdir}
+    mkdir -p ${expdir}/log
+    [ -e ${expdir}/stats.h5 ] || cp -v data/${train}/stats.h5 ${expdir}
     ${cuda_cmd} --gpu ${n_devices} "${expdir}/log/${train}.log" \
         train.py \
             --n_devices ${n_devices} \
@@ -241,20 +224,17 @@ if echo ${stage} | grep -q 4; then
             --use_upsampling_layer ${use_upsampling} \
             --resume "${resume}"
 fi
-# }}}
 
 
-# STAGE 5 {{{
-[ ! -n "${outdir}" ] && outdir=${expdir}/wav
-[ ! -n "${checkpoint}" ] && checkpoint=${expdir}/checkpoint-final.pkl
-[ ! -n "${config}" ] && config=$(dirname ${checkpoint})/model.conf
-[ ! -n "${stats}" ] && stats=$(dirname ${checkpoint})/stats.h5
-[ ! -n "${feats}" ] && feats=data/${eval}/feats.scp
-if echo ${stage} | grep -q 5; then
-    echo "###########################################################"
-    echo "#               WAVENET DECODING STEP                     #"
-    echo "###########################################################"
-    [ ! -e ${outdir}/log ] && mkdir -p ${outdir}/log
+# decode inputs default to the bundle the training stage produced
+[ -z "${outdir}" ] && outdir=${expdir}/wav
+[ -z "${checkpoint}" ] && checkpoint=${expdir}/checkpoint-final.pkl
+[ -z "${config}" ] && config=$(dirname ${checkpoint})/model.conf
+[ -z "${stats}" ] && stats=$(dirname ${checkpoint})/stats.h5
+[ -z "${feats}" ] && feats=data/${eval}/feats.scp
+if wants 5; then
+    banner 5 "batched AR decoding"
+    mkdir -p ${outdir}/log
     ${cuda_cmd} --gpu ${n_devices} "${outdir}/log/decode.log" \
         decode.py \
             --n_devices ${n_devices} \
@@ -266,14 +246,11 @@ if echo ${stage} | grep -q 5; then
             --fs ${fs} \
             --batch_size ${decode_batch_size}
 fi
-# }}}
 
 
-# STAGE 6 {{{
-if echo ${stage} | grep -q 6 && ${use_noise_shaping}; then
-    echo "###########################################################"
-    echo "#                  NOISE SHAPING STEP                     #"
-    echo "###########################################################"
+if wants 6 && ${use_noise_shaping}; then
+    banner 6 "noise restoration of decoded waveforms"
+    # forward MLSA filter (--inv false) undoes the stage-3 weighting
     find "${outdir}" -name "*.wav" | sort > ${outdir}/wav.scp
     ${train_cmd} --num-threads ${n_jobs} exp/noise_shaping/noise_shaping_restore_${eval}.log \
         noise_shaping.py \
@@ -290,4 +267,3 @@ if echo ${stage} | grep -q 6 && ${use_noise_shaping}; then
             --n_jobs ${n_jobs} \
             --inv false
 fi
-# }}}
