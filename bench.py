@@ -204,18 +204,46 @@ def main():
             tNs.append(time.time() - t0)
         # difference cancels the per-call dispatch/fetch latency
         t_step = max(1e-4, (min(tNs) - min(t1s)) / (N - 1))
+
+        # analytic model FLOPs for one fwd+bwd step (2 FLOPs per MAC;
+        # backward ~= 2x forward: one matmul set each for dL/dx and
+        # dL/dW).  Embed/post stacks included; upsampler negligible.
+        R, S = config.n_resch, config.n_skipch
+        k, A, Q = config.kernel_size, config.n_aux, config.n_quantize
+        L = len(config.dilations)
+        per_t = (L * (k * R * 2 * R + A * 2 * R + R * S + R * R)
+                 + Q * R + S * S + S * Q)
+        flops_step = 3 * 2 * T * per_t
+        # bf16 peak by device generation (fallback: v5e)
+        dev_kind = jax.devices()[0].device_kind.lower()
+        peak = {"v5 lite": 197e12, "v5e": 197e12, "v5p": 459e12,
+                "v4": 275e12, "v6": 918e12}.get(
+            next((g for g in ("v5 lite", "v5e", "v5p", "v6", "v4")
+                  if g in dev_kind), "v5e"), 197e12)
+        mfu = flops_step / t_step / peak
+
         train_detail = {
             "train_step_seconds": round(t_step, 4),
             "train_samples_per_sec": round(bl / t_step, 1),
             "train_batches_per_sec": round(1.0 / t_step, 3),
             "train_batch_length": bl,
             "per_call_seconds": round(min(t1s), 4),
+            "model_flops_per_step": flops_step,
+            "mfu": round(mfu, 4),
+            "peak_flops_assumed": peak,
+            "impl": "pallas-fused" if use_fused else "xla",
+            # the 0.088 s baseline is this repo's own round-1 XLA step at
+            # the same operating point; the reference publishes no train
+            # throughput numbers, so vs_baseline measures self-relative
+            # speedup, not reference-relative speed
+            "baseline_source": "round1 XLA step 0.088 s (self-referential)",
         }
         print(json.dumps({
             "metric": "train_step_seconds",
             "value": round(t_step, 4),
             "unit": "s/step(bl=20000)",
             "vs_baseline": round(0.088 / t_step, 4),
+            "detail": train_detail,
         }))
         del state
 
