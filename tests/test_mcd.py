@@ -91,3 +91,75 @@ def test_mcd_rejects_unknown_align():
     x = _speechy(10)
     with pytest.raises(ValueError):
         compute_mcd(x, x, 16000, align="DTW")
+
+
+def test_native_dtw_matches_numpy_spec():
+    """The C++ banded DTW must reproduce the numpy implementation
+    cell-for-cell (same band, same up/diag/left tie-breaking)."""
+    from pytorchwavenetvocoder_tpu import native
+    from pytorchwavenetvocoder_tpu.eval.mcd import _dtw_path_numpy
+
+    if not native.dtw_available():
+        pytest.skip("native library not built")
+    rng = np.random.RandomState(7)
+    for ta, tb, band in [(40, 40, 6), (61, 50, 4), (25, 90, 3),
+                         (120, 118, 16), (2, 2, 1)]:
+        a, b = rng.randn(ta, 25), rng.randn(tb, 25)
+        pi, pj, pc = _dtw_path_numpy(a, b, band)
+        ni, nj, nc = native.dtw_band(a, b, band)
+        assert np.array_equal(pi, ni), (ta, tb, band)
+        assert np.array_equal(pj, nj), (ta, tb, band)
+        np.testing.assert_allclose(pc, nc, rtol=1e-12)
+
+
+def test_eval_mcd_cli(tmp_path):
+    """eval_mcd.py pairs by basename, scores in parallel, writes the
+    per-utterance report, and prints the machine-readable mean."""
+    import subprocess
+    import sys
+
+    ref_dir = tmp_path / "ref"
+    gen_dir = tmp_path / "gen"
+    ref_dir.mkdir()
+    gen_dir.mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        x = _speechy(i)
+        write_wav(str(ref_dir / f"utt{i}.wav"), x.astype(np.float32), 16000)
+        # generated = reference + small noise -> small but nonzero MCD
+        write_wav(str(gen_dir / f"utt{i}.wav"),
+                  (x + 0.01 * rng.randn(len(x))).astype(np.float32), 16000)
+    # one unmatched generated file must be reported, not fatal
+    write_wav(str(gen_dir / "orphan.wav"),
+              _speechy(9).astype(np.float32), 16000)
+
+    out = tmp_path / "mcd.txt"
+    r = subprocess.run(
+        [sys.executable, "-m", "pytorchwavenetvocoder_tpu.bin.eval_mcd",
+         "--gen", str(gen_dir), "--ref", str(ref_dir),
+         "--out", str(out), "--n_jobs", "2"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert "mean_mcd_db" in r.stdout
+    mean = float(r.stdout.split("mean_mcd_db")[1].split()[0])
+    assert 0.0 < mean < 3.0, mean
+    lines = out.read_text().strip().splitlines()
+    assert sum(1 for l in lines if l.startswith("utt")) == 4
+    assert "mean" in lines[-1]
+
+
+def test_eval_mcd_cli_identical_is_zero(tmp_path):
+    import subprocess
+    import sys
+
+    d = tmp_path / "wavs"
+    d.mkdir()
+    x = _speechy(3)
+    write_wav(str(d / "a.wav"), x.astype(np.float32), 16000)
+    r = subprocess.run(
+        [sys.executable, "-m", "pytorchwavenetvocoder_tpu.bin.eval_mcd",
+         "--gen", str(d), "--ref", str(d), "--n_jobs", "1"],
+        capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    mean = float(r.stdout.split("mean_mcd_db")[1].split()[0])
+    assert mean < 1e-6, mean
