@@ -45,15 +45,39 @@ def _frame_autocorr(frames: np.ndarray, max_lag: int) -> np.ndarray:
 
 def extract_f0(x: np.ndarray, fs: int, minf0: float = 40.0,
                maxf0: float = 400.0, shiftms: float = 5.0,
-               voicing_threshold: float = 0.45) -> np.ndarray:
+               voicing_threshold: float = 0.45,
+               method: str = "harvest") -> np.ndarray:
+    """Frame-rate F0 track in Hz; 0 marks unvoiced frames.
+
+    ``method="harvest"`` (default) runs the published Harvest algorithm
+    (dsp/harvest.py — band-pass filter bank, four-event interval
+    candidates, instantaneous-frequency refinement, contour fixing),
+    matching the analysis the reference reaches through WORLD
+    (`feature_extract.py:154-160,179`).  ``method="nac"`` keeps the
+    original normalized-autocorrelation + Viterbi tracker
+    (``extract_f0_nac``) as a fast fallback.
+    """
+    if method == "harvest":
+        from pytorchwavenetvocoder_tpu.dsp.harvest import harvest
+
+        return harvest(x, fs, f0_floor=minf0, f0_ceil=maxf0,
+                       shiftms=shiftms)
+    if method != "nac":
+        raise ValueError(f"method must be 'harvest' or 'nac', got {method!r}")
+    return extract_f0_nac(x, fs, minf0, maxf0, shiftms, voicing_threshold)
+
+
+def extract_f0_nac(x: np.ndarray, fs: int, minf0: float = 40.0,
+                   maxf0: float = 400.0, shiftms: float = 5.0,
+                   voicing_threshold: float = 0.45) -> np.ndarray:
     """Frame-rate F0 track in Hz; 0 marks unvoiced frames.
 
     Method: per frame, normalized autocorrelation (NAC) over the lag range
     [fs/maxf0, fs/minf0]; the top-K NAC local maxima (parabolic-refined)
     become period candidates; a Viterbi pass over {unvoiced} + candidates
     picks the contour maximizing NAC emission minus octave-continuity and
-    voicing-switch penalties.  Harvest-style contour tracking without the
-    WORLD dependency; voicing = the Viterbi path (unvoiced emission =
+    voicing-switch penalties.  Contour tracking without any external
+    dependency; voicing = the Viterbi path (unvoiced emission =
     ``voicing_threshold``) with an energy floor gate.
     """
     x = np.asarray(x, np.float64)
