@@ -52,15 +52,14 @@ def spectral_envelope_mcep(x: np.ndarray, fs: int, shiftms: float,
                            cont_f0: np.ndarray | None = None) -> np.ndarray:
     """(n_frames, mcep_dim+1) mel-cepstra of the spectral envelope.
 
-    With ``cont_f0``, uses F0-ADAPTIVE analysis in the spirit of WORLD's
-    CheapTrick (the reference's envelope estimator,
-    `feature_extract.py:154-160`): a 3-pitch-period Hanning window per
-    frame, rectangular spectral smoothing of width 2/3*f0, and the
-    sinc + q1-compensation liftering that removes the interference of
-    the harmonic structure — the envelope is then nearly ripple-free
-    between harmonics instead of following the periodogram's comb.
-    Without ``cont_f0``, falls back to fixed Hanning-window periodogram
-    mcep.  All steps are vectorized over frames.
+    With ``cont_f0``, runs the published CheapTrick algorithm
+    (``dsp/cheaptrick.py`` — the reference's envelope estimator,
+    `feature_extract.py:154-160`): F0-adaptive 3-period Hanning window
+    with DC-bias removal, DC correction below f0, fractional-width
+    2/3*f0 rectangular smoothing on the continuous frequency axis, and
+    the sinc + q1=-0.15 liftering with recovery.  Without ``cont_f0``,
+    falls back to fixed Hanning-window periodogram mcep.  All steps are
+    vectorized over frames.
     """
     hop = int(fs * shiftms / 1000.0)
     x = np.asarray(x, np.float64)
@@ -70,52 +69,13 @@ def spectral_envelope_mcep(x: np.ndarray, fs: int, shiftms: float,
         spec = np.abs(np.fft.rfft(frames * win[None, :], axis=1)) ** 2
         return sp2mc_batch(np.maximum(spec, EPS), mcep_dim, mcep_alpha)
 
+    from pytorchwavenetvocoder_tpu.dsp.cheaptrick import cheaptrick
+
     f0 = np.asarray(cont_f0, np.float64)[:n_frames]
     if len(f0) < n_frames:
         f0 = np.pad(f0, (0, n_frames - len(f0)), "edge")
-    # CheapTrick's working F0 range: too-low/unvoiced F0 gets the floor
-    # implied by the fft size (window must fit 3 periods)
-    f0_floor = 3.0 * fs / fftl
-    f0 = np.clip(np.where(f0 > 0, f0, 160.0), f0_floor, fs / 8.0)
-
-    # ---- per-frame 3-period Hanning window (vectorized) ----------------
-    half_win = np.minimum((1.5 * fs / f0).astype(int), fftl // 2 - 1)
     frames = _centered_frames(x, fftl, hop, n_frames)       # (T, fftl)
-    idx = np.arange(fftl)[None, :] - fftl // 2              # centered taps
-    in_win = np.abs(idx) <= half_win[:, None]
-    # Hanning over the 2*half_win+1 support
-    win = np.where(in_win,
-                   0.5 + 0.5 * np.cos(np.pi * idx / (half_win[:, None] + 1)),
-                   0.0)
-    win /= np.sqrt(np.sum(win ** 2, axis=1, keepdims=True)) + 1e-12
-    spec = np.abs(np.fft.rfft(frames * win, axis=1)) ** 2   # (T, fftl/2+1)
-
-    # ---- rectangular spectral smoothing of width 2/3 * f0 --------------
-    n_half1 = fftl // 2 + 1
-    df = fs / fftl
-    w_bins = np.maximum(1, np.round((2.0 / 3.0) * f0 / df).astype(int))
-    # reflect-pad so the boxcar is well-defined at the edges
-    pad = int(w_bins.max()) + 1
-    sp_pad = np.pad(spec, ((0, 0), (pad, pad)), "reflect")
-    csum = np.cumsum(sp_pad, axis=1)
-    rows = np.arange(n_frames)[:, None]
-    k = np.arange(n_half1)[None, :] + pad
-    lo = k - (w_bins[:, None] // 2) - 1
-    hi = k + ((w_bins[:, None] - 1) // 2)
-    smoothed = (csum[rows, hi] - csum[rows, lo]) / w_bins[:, None]
-    smoothed = np.maximum(smoothed, EPS)
-
-    # ---- liftering (CheapTrick eq. 13-15): sinc lifter removes the
-    # residual harmonic interference, q1-compensation restores the
-    # envelope tilt the smoothing flattened (q1 = -0.15) ---------------
-    cep = np.fft.irfft(np.log(smoothed), n=fftl, axis=1)    # (T, fftl)
-    q = np.arange(fftl) * (1.0 / fs)
-    q = np.minimum(q, fftl / fs - q)                        # symmetric axis
-    arg = np.pi * f0[:, None] * q[None, :]
-    sinc = np.where(arg > 1e-9, np.sin(np.maximum(arg, 1e-9)) / np.maximum(arg, 1e-9), 1.0)
-    q1 = -0.15
-    comp = (1.0 - 2.0 * q1) + 2.0 * q1 * np.cos(2.0 * arg)
-    env = np.exp(np.fft.rfft(cep * sinc * comp, axis=1).real)
+    env = cheaptrick(frames, f0, fs, fftl)
     return sp2mc_batch(np.maximum(env, EPS), mcep_dim, mcep_alpha)
 
 
