@@ -224,14 +224,17 @@ def test_band_aperiodicity_discriminates():
     from pytorchwavenetvocoder_tpu.dsp.world import world_analyze
 
     rng = np.random.RandomState(0)
-    fs2 = 22050  # 2 codeap bands (0-3k / 3-6k), like WORLD at 22.05k
+    fs2 = 22050  # 2 codeap bands (centers 3k / 6k), like WORLD at 22.05k
     T = fs2
-    # strongly periodic low band + noisy high band
-    periodic = _harmonic(np.full(T, 160.0), fs=fs2)
+    # strongly periodic through the 3-kHz band center + noise over the
+    # 6-kHz center (D4C's coarse values sit AT 3000(b+1) Hz with a
+    # concentrated Nuttall window, so the signal split must respect
+    # that geometry, not disjoint [0,3k)/[3k,6k) boxes)
+    periodic = _harmonic(np.full(T, 160.0), fs=fs2, n_harm=28)
     noise = rng.randn(T)
     from scipy.signal import butter, lfilter
 
-    bh, ah = butter(4, 3500 / (fs2 / 2), "highpass")
+    bh, ah = butter(4, 5200 / (fs2 / 2), "highpass")
     x = periodic + 0.8 * lfilter(bh, ah, noise)
     from pytorchwavenetvocoder_tpu.dsp.world import n_codeap_bands
 
