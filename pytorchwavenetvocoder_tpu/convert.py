@@ -21,15 +21,16 @@ The CLI (bin/convert_checkpoint.py) converts full reference checkpoint
 files; ``test_convert.py`` validates end-to-end forward/generation
 parity against the actual reference implementation when it is present.
 
-IMPORTANT — feature-pipeline compatibility: conversion is numerically
-exact for the NETWORK, but a migrated checkpoint only reproduces the
-reference's audio when fed the reference's OWN feature h5s and stats.h5.
-This repo's stages 1-3 are original estimators (dsp/f0.py, dsp/world.py)
-with matching shapes/columns, not bit-compatible WORLD/Harvest/D4C
-outputs, and noise-shaping restoration here inverts an exact
-minimum-phase filter rather than the reference's Pade MLSA lattice.
-Mixing pipelines shifts the conditioning distribution the torch model
-was trained on.  Run this repo's stage 1-3 only for models trained here.
+Feature-pipeline compatibility: conversion is numerically exact for the
+NETWORK.  This repo's stages 1-3 implement the published WORLD analyses
+(Harvest in dsp/harvest.py, CheapTrick in dsp/cheaptrick.py, D4C in
+dsp/d4c.py) with the same shapes/columns, so migrated checkpoints can
+run against features extracted here; for strictest reproduction of a
+reference model's audio, prefer the reference's own feature h5s and
+stats.h5 — independent implementations of the same algorithms are
+close but not bit-identical (and noise-shaping restoration here
+inverts an exact minimum-phase filter rather than the reference's Pade
+MLSA lattice approximation).
 """
 
 from __future__ import annotations
