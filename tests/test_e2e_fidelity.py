@@ -1,12 +1,22 @@
 """End-to-end cross-framework fidelity on REAL training.
 
 The random-weight parity tests (test_convert.py) prove the network math
-matches; this test proves the full migration story: the ACTUAL reference
-implementation (torch, imported read-only from /root/reference) is
-trained on a synthetic corpus, its checkpoint is converted, and this
-framework's decoder must vocode the held-out conditioning to the same
-audio quality (MCD) as the torch decoder — both well below the
-unconditional noise floor.
+matches; these tests prove the full migration story across the model
+families the recipes actually train:
+
+- ``test_real_training_fidelity`` (parametrized): the ACTUAL reference
+  implementation (torch, imported read-only from /root/reference) is
+  trained on a synthetic corpus, its checkpoint is converted, and this
+  framework's decoder must vocode held-out conditioning to the same
+  audio quality (MCD) as the torch decoder — both well below the
+  unconditional noise floor.  Families: the arctic shape (kernel 2, no
+  upsampler) and the ljspeech shape (kernel 3 + learned upsampler).
+- ``test_full_recipe_decode_path``: a trained torch checkpoint is
+  pushed through the complete ON-DISK recipe surface — the real
+  stage 1-3 preprocessing CLIs (WORLD feature extraction, stats, noise
+  weighting), ``convert_checkpoint.py``, the stage-5 ``decode.py`` CLI
+  (wav files on disk) and the stage-6 noise restoration CLI — with a
+  full-set MCD gate at the end.
 
 Mirrors the reference training loop semantics
 (`/root/reference/wavenet_vocoder/bin/train.py:527-539`: Adam + CE over
@@ -66,40 +76,66 @@ def _make_corpus(n_aux, T, seed=0):
     return wav, aux
 
 
-def test_real_training_fidelity():
+FAMILIES = {
+    # the arctic recipes' shape: kernel 2, sample-rate aux (no upsampler)
+    "arctic-k2": dict(kernel_size=2, dilation_depth=6, uf=0),
+    # the ljspeech recipes' shape: kernel 3 + the learned upsampler
+    "ljspeech-k3-up": dict(kernel_size=3, dilation_depth=5, uf=8),
+}
+
+
+@pytest.mark.parametrize("family", sorted(FAMILIES))
+def test_real_training_fidelity(family):
     torch, TorchWaveNet = _load_reference_wavenet()
     import jax
 
     import pytorchwavenetvocoder_tpu.parallel as par
 
+    fam = FAMILIES[family]
+    uf = fam["uf"]
     n_aux = 4
     cfg = WaveNetConfig(n_quantize=256, n_aux=n_aux, n_resch=32, n_skipch=32,
-                        dilation_depth=6, dilation_repeat=1, kernel_size=2,
-                        upsampling_factor=0, compute_dtype="float32")
-    rf = cfg.receptive_field  # 64
+                        dilation_depth=fam["dilation_depth"],
+                        dilation_repeat=1, kernel_size=fam["kernel_size"],
+                        upsampling_factor=uf, compute_dtype="float32")
+    rf = cfg.receptive_field
 
     T_train = 8000
-    wav, aux = _make_corpus(n_aux, T_train + 1, seed=0)
+    wav, aux = _make_corpus(n_aux, T_train + uf + 1, seed=0)
     ids = encode_mu_law(wav, 256)
+
+    def window(s, bl):
+        """(bx, bh, bt) for both frameworks; frame-rate bh when uf > 0."""
+        bx = ids[s: s + bl]
+        bt = ids[s + 1: s + bl + 1]
+        if uf == 0:
+            bh = aux[s + 1: s + bl + 1]
+        else:
+            bh = aux[s: s + bl: uf]  # frame f covers samples [f*uf,(f+1)*uf)
+        return bx, bh, bt
 
     # ---- train the ACTUAL reference implementation -----------------------
     torch.manual_seed(0)
     tnet = TorchWaveNet(n_quantize=256, n_aux=n_aux, n_resch=32, n_skipch=32,
-                        dilation_depth=6, dilation_repeat=1, kernel_size=2,
-                        upsampling_factor=0)
-    tnet.apply(lambda m: None)
+                        dilation_depth=fam["dilation_depth"],
+                        dilation_repeat=1, kernel_size=fam["kernel_size"],
+                        upsampling_factor=uf)
+    if uf > 0:
+        # reference initialize(): upsampler starts as replication
+        torch.nn.init.constant_(tnet.upsampling.conv.weight, 1.0)
     opt = torch.optim.Adam(tnet.parameters(), lr=3e-3)
     lossfn = torch.nn.CrossEntropyLoss()
-    bl = 1100
+    bl = 1104 if uf else 1100  # uf-aligned window for the upsampler family
     rng = np.random.RandomState(7)
     n_iters = 400
-    starts = rng.randint(0, T_train - bl - 1, n_iters)
+    grid = uf if uf else 1
+    starts = (rng.randint(0, (T_train - bl - 1) // grid, n_iters)) * grid
     torch_losses = []
     for it in range(n_iters):
-        s = starts[it]
-        bx = torch.from_numpy(ids[s: s + bl][None].astype(np.int64))
-        bh = torch.from_numpy(aux[s + 1: s + bl + 1].T[None])
-        bt = torch.from_numpy(ids[s + 1: s + bl + 1][None].astype(np.int64))
+        bx, bh, bt = window(starts[it], bl)
+        bx = torch.from_numpy(bx[None].astype(np.int64))
+        bh = torch.from_numpy(bh.T[None])
+        bt = torch.from_numpy(bt[None].astype(np.int64))
         logits = tnet(bx, bh)  # (1, T, Q)
         loss = lossfn(logits[:, rf:].reshape(-1, 256), bt[:, rf:].reshape(-1))
         opt.zero_grad()
@@ -113,11 +149,9 @@ def test_real_training_fidelity():
     step = par.make_train_step(cfg, lr=3e-3, donate=False)
     jax_losses = []
     for it in range(n_iters):
-        s = starts[it]
-        bx = ids[s: s + bl][None].astype(np.int32)
-        bh = aux[s + 1: s + bl + 1][None]
-        bt = ids[s + 1: s + bl + 1][None].astype(np.int32)
-        state, jl = step(state, bx, bh, bt)
+        bx, bh, bt = window(starts[it], bl)
+        state, jl = step(state, bx[None].astype(np.int32), bh[None],
+                         bt[None].astype(np.int32))
         jax_losses.append(float(jl))
     jax_final_loss = float(np.mean(jax_losses[-50:]))
 
@@ -130,19 +164,27 @@ def test_real_training_fidelity():
 
     # ---- decode held-out conditioning through both stacks ----------------
     n_gen = 3000
-    wav_hold, aux_hold = _make_corpus(n_aux, rf + n_gen + 1, seed=99)
+    total = rf + n_gen
+    wav_hold, aux_hold = _make_corpus(n_aux, total + uf + 1, seed=99)
     seed_ids = np.full((1, rf), 128, np.int64)
+    if uf == 0:
+        h_torch = aux_hold[:total].T[None]
+        h_ours = aux_hold[None, :total]
+    else:
+        n_frames = total // uf + 1
+        h_torch = aux_hold[: n_frames * uf: uf].T[None]
+        h_ours = aux_hold[None, : n_frames * uf: uf]
 
     with torch.no_grad():
         tgen = tnet.generate(torch.from_numpy(seed_ids),
-                             torch.from_numpy(aux_hold[:rf + n_gen].T[None]),
+                             torch.from_numpy(h_torch),
                              n_gen, intervals=None, mode="sampling")
     wav_torch = decode_mu_law(np.asarray(tgen, np.int32), 256)
 
     # converted torch checkpoint through THIS framework's scan decoder
     conv_params = params_from_torch_state_dict(tnet.state_dict(), cfg)
     ours = batch_fast_generate(conv_params, cfg, seed_ids.astype(np.int32),
-                               aux_hold[None, :rf + n_gen], [n_gen],
+                               h_ours, [n_gen],
                                mode="sampling", rng=jax.random.PRNGKey(5))
     wav_ours = decode_mu_law(ours[0], 256)
 
@@ -157,6 +199,171 @@ def test_real_training_fidelity():
 
     # both must clearly beat the noise floor, and the converted model must
     # match the torch decode's quality
-    assert mcd_torch < mcd_noise - 1.5, (mcd_torch, mcd_noise)
-    assert mcd_ours < mcd_noise - 1.5, (mcd_ours, mcd_noise)
-    assert abs(mcd_ours - mcd_torch) < 1.5, (mcd_ours, mcd_torch)
+    assert mcd_torch < mcd_noise - 2.0, (mcd_torch, mcd_noise)
+    assert mcd_ours < mcd_noise - 2.0, (mcd_ours, mcd_noise)
+    assert abs(mcd_ours - mcd_torch) < 1.0, (mcd_ours, mcd_torch)
+
+
+def test_full_recipe_decode_path(tmp_path):
+    """Trained-torch checkpoint through the FULL on-disk recipe surface.
+
+    Stages 1-3 run this framework's real CLIs on a synthetic voice
+    corpus (WORLD features via Harvest/CheapTrick/D4C, stats, MLSA noise
+    weighting); the torch reference is trained on the weighted audio and
+    normalized features; ``convert_checkpoint.py`` migrates the bundle;
+    stage 5 ``decode.py`` writes wavs to disk; stage 6 restores the
+    noise shaping; the decoded eval set must beat the noise floor by a
+    wide MCD margin.
+    """
+    torch, TorchWaveNet = _load_reference_wavenet()
+
+    from pytorchwavenetvocoder_tpu.bin import (
+        calc_stats,
+        convert_checkpoint,
+        decode,
+        feature_extract,
+        noise_shaping,
+    )
+    from pytorchwavenetvocoder_tpu.utils import read_hdf5, read_wav, write_wav
+
+    fs = FS
+    uf = 80  # shiftms 5 at 16 kHz, the arctic operating point
+    root = str(tmp_path)
+    for d in ("wav/tr", "wav/ev"):
+        os.makedirs(os.path.join(root, d))
+
+    # ---- stage 0: synthetic voice corpus on disk ------------------------
+    n_tr, n_ev, T_utt = 6, 2, 12000
+    for i in range(n_tr):
+        w, _ = _make_corpus(4, T_utt, seed=10 + i)
+        write_wav(os.path.join(root, f"wav/tr/utt{i}.wav"),
+                  w.astype(np.float32), fs)
+    for i in range(n_ev):
+        w, _ = _make_corpus(4, T_utt, seed=90 + i)
+        write_wav(os.path.join(root, f"wav/ev/utt{i}.wav"),
+                  w.astype(np.float32), fs)
+
+    # ---- stages 1-3: the real preprocessing CLIs ------------------------
+    for split in ("tr", "ev"):
+        feature_extract.main([
+            "--waveforms", os.path.join(root, "wav", split),
+            "--wavdir", os.path.join(root, "wav_hpf", split),
+            "--hdf5dir", os.path.join(root, "hdf5", split),
+            "--feature_type", "world", "--fs", str(fs), "--shiftms", "5",
+            "--minf0", "60", "--maxf0", "400", "--mcep_dim", "24",
+            "--mcep_alpha", "0.41", "--highpass_cutoff", "70",
+            "--fftl", "1024", "--n_jobs", "2"])
+    stats_path = os.path.join(root, "stats.h5")
+    scp = os.path.join(root, "tr_feats.scp")
+    tr_h5 = sorted(os.path.join(root, "hdf5/tr", f)
+                   for f in os.listdir(os.path.join(root, "hdf5/tr")))
+    with open(scp, "w") as f:
+        f.write("\n".join(tr_h5) + "\n")
+    calc_stats.main(["--feats", scp, "--stats", stats_path,
+                     "--feature_type", "world"])
+    noise_shaping.main([
+        "--waveforms", os.path.join(root, "wav_hpf", "tr"),
+        "--stats", stats_path,
+        "--outdir", os.path.join(root, "wav_nwf", "tr"),
+        "--feature_type", "world", "--fs", str(fs), "--shiftms", "5",
+        "--mcep_dim_start", "2", "--mcep_dim_end", "27",
+        "--mcep_alpha", "0.41", "--mag", "0.5", "--inv", "true",
+        "--n_jobs", "2"])
+
+    # ---- stage 4: train the torch reference on the weighted corpus ------
+    from pytorchwavenetvocoder_tpu.ops.scaler import StandardScaler
+
+    scaler = StandardScaler()
+    scaler.mean_ = read_hdf5(stats_path, "/world/mean")
+    scaler.scale_ = read_hdf5(stats_path, "/world/scale")
+
+    n_aux = 28
+    torch.manual_seed(0)
+    tnet = TorchWaveNet(n_quantize=256, n_aux=n_aux, n_resch=32, n_skipch=16,
+                        dilation_depth=6, dilation_repeat=1, kernel_size=2,
+                        upsampling_factor=uf)
+    torch.nn.init.constant_(tnet.upsampling.conv.weight, 1.0)
+    rf = 64
+    opt = torch.optim.Adam(tnet.parameters(), lr=3e-3)
+    lossfn = torch.nn.CrossEntropyLoss()
+
+    corpus = []
+    for i in range(n_tr):
+        w, _ = read_wav(os.path.join(root, "wav_nwf/tr", f"utt{i}.wav"),
+                        dtype="float64")
+        feats = scaler.transform(
+            read_hdf5(tr_h5[i], "/world")).astype(np.float32)
+        corpus.append((encode_mu_law(w, 256), feats))
+
+    rng = np.random.RandomState(7)
+    bl = 1600
+    for it in range(350):
+        ids, feats = corpus[rng.randint(n_tr)]
+        max_f = min(len(feats), len(ids) // uf) - bl // uf - 1
+        fstart = rng.randint(0, max_f)
+        s = fstart * uf
+        bx = torch.from_numpy(ids[s: s + bl][None].astype(np.int64))
+        bh = torch.from_numpy(feats[fstart: fstart + bl // uf].T[None])
+        bt = torch.from_numpy(ids[s + 1: s + bl + 1][None].astype(np.int64))
+        logits = tnet(bx, bh)
+        loss = lossfn(logits[:, rf:].reshape(-1, 256), bt[:, rf:].reshape(-1))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    assert float(loss.detach()) < 3.0  # it learned something
+
+    # save in the REFERENCE's own formats (torch.save for both the
+    # checkpoint and the pickled-Namespace model.conf, train.py:315-332,429)
+    import argparse as _ap
+
+    ref_ckpt = os.path.join(root, "checkpoint-350.pkl")
+    ref_conf = os.path.join(root, "model.conf")
+    torch.save({"model": tnet.state_dict(), "iterations": 350}, ref_ckpt)
+    ns = _ap.Namespace(
+        n_quantize=256, n_aux=n_aux, n_resch=32, n_skipch=16,
+        dilation_depth=6, dilation_repeat=1, kernel_size=2,
+        upsampling_factor=uf, use_upsampling_layer=True,
+        use_speaker_code=False, feature_type="world")
+    torch.save(ns, ref_conf)
+
+    # ---- convert + stage 5 decode + stage 6 restore (all CLIs) ----------
+    bundle = os.path.join(root, "bundle")
+    convert_checkpoint.main(["--checkpoint", ref_ckpt, "--config", ref_conf,
+                             "--outdir", bundle])
+    ev_h5 = sorted(os.path.join(root, "hdf5/ev", f)
+                   for f in os.listdir(os.path.join(root, "hdf5/ev")))
+    ev_scp = os.path.join(root, "ev_feats.scp")
+    with open(ev_scp, "w") as f:
+        f.write("\n".join(ev_h5) + "\n")
+    outdir = os.path.join(root, "decoded")
+    decode.main(["--feats", ev_scp, "--stats", stats_path,
+                 "--checkpoint", os.path.join(bundle, "checkpoint-350.pkl"),
+                 "--config", os.path.join(bundle, "model.conf"),
+                 "--outdir", outdir, "--fs", str(fs),
+                 "--batch_size", str(n_ev), "--impl", "scan"])
+    wavs = sorted(f for f in os.listdir(outdir) if f.endswith(".wav"))
+    assert len(wavs) == n_ev, wavs
+    noise_shaping.main([
+        "--waveforms", outdir, "--stats", stats_path,
+        "--outdir", outdir + "_nsf",
+        "--feature_type", "world", "--fs", str(fs), "--shiftms", "5",
+        "--mcep_dim_start", "2", "--mcep_dim_end", "27",
+        "--mcep_alpha", "0.41", "--mag", "0.5", "--inv", "false",
+        "--n_jobs", "2"])
+
+    # ---- MCD gate vs ground truth ---------------------------------------
+    rng = np.random.RandomState(3)
+    mcds, floors = [], []
+    for i, name in enumerate(sorted(os.listdir(outdir + "_nsf"))):
+        if not name.endswith(".wav"):
+            continue
+        gen, _ = read_wav(os.path.join(outdir + "_nsf", name),
+                          dtype="float64")
+        ref, _ = read_wav(os.path.join(root, "wav_hpf/ev", name),
+                          dtype="float64")
+        n = min(len(gen), len(ref))
+        mcds.append(compute_mcd(ref[:n], gen[:n], fs, align="dtw"))
+        floors.append(compute_mcd(ref[:n], rng.uniform(-0.5, 0.5, n), fs,
+                                  align="dtw"))
+    assert len(mcds) == n_ev
+    assert np.mean(mcds) < np.mean(floors) - 2.0, (mcds, floors)
