@@ -225,3 +225,77 @@ def test_fused_train_kernels_match_xla_on_hardware():
     # rounding of the kernel's saved activations
     np.testing.assert_allclose(losses_fused, losses_xla, rtol=2e-3)
     assert losses_xla[-1] < losses_xla[0]  # actually learning
+
+
+def test_int8_sampler_distribution_chi2_at_flagship_width():
+    """The int8-MXU sampling path's DISTRIIBUTION at the flagship channel
+    width (512 resch): sample frequencies under quantize=True must match
+    softmax probabilities.  The 128-ch chi^2 test cannot see width-
+    dependent quantization artifacts in the logit path feeding the
+    Gumbel-max sampler."""
+    from pytorchwavenetvocoder_tpu.models.wavenet import WaveNetConfig
+    from pytorchwavenetvocoder_tpu.ops.ar_kernel import calibrate_act_scales
+    from pytorchwavenetvocoder_tpu.models.wavenet import (
+        _pad_seed,
+        _warmup_state,
+    )
+    from pytorchwavenetvocoder_tpu.ops.ar_kernel import pallas_ar_generate
+
+    cfg = WaveNetConfig(n_quantize=256, n_aux=28, n_resch=512,
+                        n_skipch=256, dilation_depth=3, dilation_repeat=2,
+                        kernel_size=2, upsampling_factor=0,
+                        compute_dtype="bfloat16")
+    Q = cfg.n_quantize
+    logits = np.full(Q, -30.0)
+    live = np.arange(16) * 16 + 3
+    rng0 = np.random.RandomState(0)
+    logits[live] = rng0.uniform(-1.0, 1.0, 16)
+    params = _fixed_logit_params(cfg, logits)
+
+    B, n = 128, 1500
+    x = jnp.full((B, 1), 128, jnp.int32)
+    h = jnp.zeros((B, cfg.receptive_field + n, cfg.n_aux), jnp.float32)
+    xj, hj = _pad_seed(cfg, x, h)
+    carry = _warmup_state(params, cfg, xj, hj)
+    scales = calibrate_act_scales(params, cfg, xj, hj)
+    samples = np.asarray(pallas_ar_generate(
+        params, cfg, carry, hj, xj.shape[1], n, "sampling",
+        jax.random.PRNGKey(11), quantize=True, act_scales=scales)).ravel()
+
+    probs = np.exp(logits - logits.max())
+    probs /= probs.sum()
+    counts = np.bincount(samples, minlength=Q)
+    assert counts[probs < 1e-9].sum() == 0
+    expected = probs[live] * samples.size
+    chi2 = float(np.sum((counts[live] - expected) ** 2 / expected))
+    assert chi2 < 60.0, (chi2, counts[live], expected.astype(int))
+
+
+def test_int8_decode_tracks_bf16_at_flagship_scale():
+    """int8 vs bf16 argmax decode at the FULL flagship config (30x512,
+    RF 3070) — the exact model whose int8 throughput is the headline
+    benchmark.  Quantization error accumulates through 30 layers and a
+    3070-sample receptive field; the reduced-scale tracking test cannot
+    bound that."""
+    from pytorchwavenetvocoder_tpu.models.wavenet import (
+        WaveNetConfig,
+        batch_fast_generate,
+        init_wavenet_params,
+    )
+
+    cfg = WaveNetConfig(n_quantize=256, n_aux=28, n_resch=512, n_skipch=256,
+                        dilation_depth=10, dilation_repeat=3, kernel_size=2,
+                        upsampling_factor=0, compute_dtype="bfloat16")
+    params = init_wavenet_params(jax.random.PRNGKey(1), cfg)
+    rng = np.random.RandomState(0)
+    B, n = 8, 400
+    x = np.full((B, 1), 128, np.int32)
+    h = rng.randn(B, cfg.receptive_field + n, cfg.n_aux).astype(np.float32)
+
+    ref = batch_fast_generate(params, cfg, x, h, [n] * B, mode="argmax",
+                              impl="pallas")
+    q = batch_fast_generate(params, cfg, x, h, [n] * B, mode="argmax",
+                            impl="pallas", quantize=True)
+    diff = np.abs(np.stack(ref).astype(int) - np.stack(q).astype(int))
+    assert np.median(diff) <= 2, np.median(diff)
+    assert (diff <= 8).mean() > 0.8, (diff.mean(), (diff <= 8).mean())
