@@ -98,6 +98,22 @@ class WaveNetConfig:
         return cls(**{k: v for k, v in d.items() if k in known})
 
 
+def _device_hbm_bytes() -> int:
+    """The default device's memory limit, for sizing staging buffers.
+
+    Falls back to the 16 GB of a v5e when the backend doesn't report
+    memory stats (CPU tests, older runtimes) so behavior is unchanged
+    there.
+    """
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit", 0) > 0:
+            return int(stats["bytes_limit"])
+    except Exception:
+        pass
+    return 16 * 1024**3
+
+
 def _xavier_uniform(key, k: int, fan_in_c: int, fan_out_c: int, shape):
     """Xavier-uniform for a conv weight with kernel size ``k``.
 
@@ -560,15 +576,23 @@ def _warmup_state(params: Params, config: WaveNetConfig,
     # lax.map forces the chunks to run SEQUENTIALLY (a python loop has no
     # data dependence between chunks, so XLA overlaps them and the temp
     # memory multiplies right back).  The chunk adapts to the receptive
-    # field: ~64 rows at arctic's T0=3070, 32 at ljspeech's 6139.
-    chunk = int(max(8, min(64, (200_000 // max(T0, 1)) // 8 * 8)))
+    # field (~64 rows at arctic's T0=3070, 32 at ljspeech's 6139 on a
+    # 16 GB chip) and scales with the ACTUAL device HBM — the base
+    # budgets below were probe-derived on a 16 GB v5e, and a different
+    # TPU generation gets them rescaled instead of silently inheriting
+    # the v5e numbers.
+    hbm_scale = _device_hbm_bytes() / (16 * 1024**3)
+    chunk = int(max(8, min(64, (int(200_000 * hbm_scale) // max(T0, 1))
+                           // 8 * 8)))
     if use_kernel:
         # the kernel path materializes per-layer bf16 streams
-        # (L * chunk * T0 * R); cap the chunk so that stays ~3 GB
+        # (L * chunk * T0 * R); cap the chunk so that stays ~3 GB of a
+        # 16 GB chip (scaled to the actual device)
         stream_bytes_per_row = c.n_layers * c.n_resch * 2
+        budget = int(3 * 1024**3 * hbm_scale)
         chunk = int(max(8, min(
             chunk,
-            (3 * 1024**3 // max(T0 * stream_bytes_per_row, 1)) // 8 * 8)))
+            (budget // max(T0 * stream_bytes_per_row, 1)) // 8 * 8)))
     if B <= chunk:
         act_buf = fill(x, h_up[:, :T0])
     elif B % chunk == 0:
