@@ -5,12 +5,15 @@ WORLD (C++) via sprocket, SPTK (C) via pysptk, and librosa
 (`feature_extract.py:15-24`, `noise_shaping.py:16`).  None of those are
 available here; this package provides the consumed surfaces:
 
-- spectral:  STFT, mel filterbank, mel-spectrogram (librosa semantics)
-- cepstrum:  freqt / mcep / mc2b / b2mc / sp2mc (SPTK surface)
-- f0:        F0 tracking + continuous-F0 interpolation (WORLD surface)
-- world:     combined WORLD-style analysis [uv, cont_f0_lpf, mcep, codeap]
-- mlsa:      MLSA noise-shaping filter (pysptk.synthesis surface)
-- filters:   FIR high-pass / low-pass (scipy-backed, reference semantics)
+- spectral:   STFT, mel filterbank, mel-spectrogram (librosa semantics)
+- cepstrum:   freqt / mcep / mc2b / b2mc / sp2mc (SPTK surface; UELS mcep)
+- harvest:    the published Harvest F0 estimator
+- cheaptrick: the published CheapTrick spectral-envelope estimator
+- d4c:        the published D4C band-aperiodicity estimator
+- f0:         extract_f0 dispatch (harvest default) + continuous-F0 interp
+- world:      combined WORLD analysis [uv, cont_f0_lpf, mcep, codeap]
+- mlsa:       MLSA noise-shaping filter (pysptk.synthesis surface)
+- filters:    FIR high-pass / low-pass (scipy-backed, reference semantics)
 """
 
 from pytorchwavenetvocoder_tpu.dsp.filters import (  # noqa: F401
@@ -34,6 +37,9 @@ from pytorchwavenetvocoder_tpu.dsp.f0 import (  # noqa: F401
     convert_to_continuous_f0,
     extract_f0,
 )
+from pytorchwavenetvocoder_tpu.dsp.cheaptrick import cheaptrick  # noqa: F401
+from pytorchwavenetvocoder_tpu.dsp.d4c import d4c, n_codeap_bands  # noqa: F401
+from pytorchwavenetvocoder_tpu.dsp.harvest import harvest  # noqa: F401
 from pytorchwavenetvocoder_tpu.dsp.world import world_analyze  # noqa: F401
 from pytorchwavenetvocoder_tpu.dsp.mlsa import (  # noqa: F401
     mlsa_filter,
