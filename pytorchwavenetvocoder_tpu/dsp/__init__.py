@@ -37,9 +37,16 @@ from pytorchwavenetvocoder_tpu.dsp.f0 import (  # noqa: F401
     convert_to_continuous_f0,
     extract_f0,
 )
-from pytorchwavenetvocoder_tpu.dsp.cheaptrick import cheaptrick  # noqa: F401
-from pytorchwavenetvocoder_tpu.dsp.d4c import d4c, n_codeap_bands  # noqa: F401
-from pytorchwavenetvocoder_tpu.dsp.harvest import harvest  # noqa: F401
+# Bind the WORLD-algorithm submodules at the package root.  A
+# `from .cheaptrick import cheaptrick` would rebind the package
+# attribute from the submodule to the function, breaking
+# `dsp.cheaptrick.<internal>` access (tests pin the published
+# constants that way); the functions live one level down instead:
+# dsp.cheaptrick.cheaptrick / dsp.harvest.harvest / dsp.d4c.d4c.
+import pytorchwavenetvocoder_tpu.dsp.cheaptrick  # noqa: F401
+import pytorchwavenetvocoder_tpu.dsp.d4c  # noqa: F401
+import pytorchwavenetvocoder_tpu.dsp.harvest  # noqa: F401
+from pytorchwavenetvocoder_tpu.dsp.d4c import n_codeap_bands  # noqa: F401
 from pytorchwavenetvocoder_tpu.dsp.world import world_analyze  # noqa: F401
 from pytorchwavenetvocoder_tpu.dsp.mlsa import (  # noqa: F401
     mlsa_filter,
