@@ -21,6 +21,7 @@ import argparse
 import logging
 import multiprocessing as mp
 import os
+import queue
 import sys
 
 import numpy as np
@@ -88,8 +89,22 @@ def evaluate(args) -> float:
     for p in procs:
         p.start()
     results = []
-    for _ in procs:
-        results.extend(out_q.get())
+    pending = len(procs)
+    while pending:
+        try:
+            results.extend(out_q.get(timeout=10.0))
+            pending -= 1
+        except queue.Empty:
+            # a worker that died (OOM kill, import failure) never puts
+            # its chunk — a plain get() would block forever
+            crashed = [p for p in procs if p.exitcode not in (None, 0)]
+            if crashed:
+                logging.error("scoring worker exited with %d before "
+                              "returning results", crashed[0].exitcode)
+                for p in procs:
+                    if p.is_alive():
+                        p.terminate()
+                sys.exit(1)
     for p in procs:
         p.join()
         if p.exitcode != 0:

@@ -100,8 +100,11 @@ def _linear_smoothing(spec: np.ndarray, f0: np.ndarray, fs: int,
     n_half1 = fftl // 2 + 1
     df = fs / fftl
     T = spec.shape[0]
-    # reflect-extend so the integral is defined beyond both edges
-    ext = np.concatenate([spec[:, 1:][:, ::-1], spec, spec[:, -2:][:, ::-1]],
+    # reflect-extend so the integral is defined beyond both edges:
+    # position -k mirrors bin k (about DC) and position (n-1)+k mirrors
+    # bin n-1-k (about Nyquist) — a short right extension would truncate
+    # the boxcar at Nyquist and bias the top ~f0/3 band low
+    ext = np.concatenate([spec[:, 1:][:, ::-1], spec, spec[:, -2::-1]],
                          axis=1)
     orig0 = n_half1 - 1  # index of bin 0 in the extension
     # cumulative trapezoid integral along the extended axis

@@ -15,8 +15,10 @@ The published construction, step for step (vectorized over frames):
    frequency) while an aperiodic component keeps fluctuating — this is
    the estimator's core discrimination.
 3. **Coarse band statistic** — for each 3-kHz band center, the static
-   group delay is windowed with a Nuttall window (half-width 3 kHz,
-   weighted mean removed) and Fourier-transformed.  A static segment
+   group delay is windowed with a Nuttall window (half-width 3 kHz;
+   the static component, pedestal included, is deliberately kept in —
+   the main-lobe power subtraction below accounts for it) and
+   Fourier-transformed.  A static segment
    concentrates its power in the transform's main lobe (the Nuttall
    lobe spans ~8/L of the padded length); a fluctuating segment spreads
    it.  The band aperiodicity is the power fraction OUTSIDE the largest
@@ -135,7 +137,7 @@ def d4c(frames: np.ndarray, f0: np.ndarray, fs: int,
         lo_c, hi_c = max(lo, 0), min(hi, n_half1)
         seg = np.zeros((sgd.shape[0], L))
         seg[:, lo_c - lo: hi_c - lo] = sgd[:, lo_c:hi_c]
-        # the static component (incl. the T0/2 pedestal) stays in: it is
+        # the static component (incl. the T0/8 pedestal) stays in: it is
         # exactly what the main-lobe power subtraction accounts for
         seg = seg * nuttall[None, :]
         P = np.abs(np.fft.rfft(seg, n=n_seg_fft, axis=1)) ** 2

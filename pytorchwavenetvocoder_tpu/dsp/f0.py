@@ -45,7 +45,7 @@ def _frame_autocorr(frames: np.ndarray, max_lag: int) -> np.ndarray:
 
 def extract_f0(x: np.ndarray, fs: int, minf0: float = 40.0,
                maxf0: float = 400.0, shiftms: float = 5.0,
-               voicing_threshold: float = 0.45,
+               voicing_threshold: float | None = None,
                method: str = "harvest") -> np.ndarray:
     """Frame-rate F0 track in Hz; 0 marks unvoiced frames.
 
@@ -56,15 +56,27 @@ def extract_f0(x: np.ndarray, fs: int, minf0: float = 40.0,
     (`feature_extract.py:154-160,179`).  ``method="nac"`` keeps the
     original normalized-autocorrelation + Viterbi tracker
     (``extract_f0_nac``) as a fast fallback.
+
+    ``voicing_threshold`` is an NAC-tracker knob (unvoiced-state
+    emission, default 0.45); Harvest has no such parameter — its
+    voicing decision is the published contour-fixing procedure — so an
+    explicit value with ``method="harvest"`` is refused rather than
+    silently ignored.
     """
     if method == "harvest":
+        if voicing_threshold is not None:
+            raise ValueError(
+                "voicing_threshold only applies to method='nac'; the "
+                "published Harvest algorithm has no voicing threshold")
         from pytorchwavenetvocoder_tpu.dsp.harvest import harvest
 
         return harvest(x, fs, f0_floor=minf0, f0_ceil=maxf0,
                        shiftms=shiftms)
     if method != "nac":
         raise ValueError(f"method must be 'harvest' or 'nac', got {method!r}")
-    return extract_f0_nac(x, fs, minf0, maxf0, shiftms, voicing_threshold)
+    return extract_f0_nac(x, fs, minf0, maxf0, shiftms,
+                          0.45 if voicing_threshold is None
+                          else voicing_threshold)
 
 
 def extract_f0_nac(x: np.ndarray, fs: int, minf0: float = 40.0,

@@ -43,7 +43,8 @@ def _centered_frames(x: np.ndarray, frame_len: int, hop: int,
 def spectral_envelope_mcep(x: np.ndarray, fs: int, shiftms: float,
                            fftl: int, mcep_dim: int, mcep_alpha: float,
                            n_frames: int,
-                           cont_f0: np.ndarray | None = None) -> np.ndarray:
+                           cont_f0: np.ndarray | None = None,
+                           frames: np.ndarray | None = None) -> np.ndarray:
     """(n_frames, mcep_dim+1) mel-cepstra of the spectral envelope.
 
     With ``cont_f0``, runs the published CheapTrick algorithm
@@ -57,8 +58,9 @@ def spectral_envelope_mcep(x: np.ndarray, fs: int, shiftms: float,
     """
     hop = int(fs * shiftms / 1000.0)
     x = np.asarray(x, np.float64)
+    if frames is None:
+        frames = _centered_frames(x, fftl, hop, n_frames)   # (T, fftl)
     if cont_f0 is None:
-        frames = _centered_frames(x, fftl, hop, n_frames)
         win = np.hanning(fftl)
         spec = np.abs(np.fft.rfft(frames * win[None, :], axis=1)) ** 2
         return sp2mc_batch(np.maximum(spec, EPS), mcep_dim, mcep_alpha)
@@ -68,14 +70,14 @@ def spectral_envelope_mcep(x: np.ndarray, fs: int, shiftms: float,
     f0 = np.asarray(cont_f0, np.float64)[:n_frames]
     if len(f0) < n_frames:
         f0 = np.pad(f0, (0, n_frames - len(f0)), "edge")
-    frames = _centered_frames(x, fftl, hop, n_frames)       # (T, fftl)
     env = cheaptrick(frames, f0, fs, fftl)
     return sp2mc_batch(np.maximum(env, EPS), mcep_dim, mcep_alpha)
 
 
 def band_aperiodicity(x: np.ndarray, fs: int, f0: np.ndarray,
                       shiftms: float, n_frames: int,
-                      fftl: int = 1024) -> np.ndarray:
+                      fftl: int = 1024,
+                      frames: np.ndarray | None = None) -> np.ndarray:
     """(n_frames, n_bands) D4C coarse band aperiodicity in dB.
 
     Runs the published D4C static-group-delay estimator (dsp/d4c.py) on
@@ -87,7 +89,8 @@ def band_aperiodicity(x: np.ndarray, fs: int, f0: np.ndarray,
     f0 = np.asarray(f0, np.float64)[:n_frames]
     if len(f0) < n_frames:
         f0 = np.pad(f0, (0, n_frames - len(f0)))
-    frames = _centered_frames(x, fftl, hop, n_frames)
+    if frames is None:
+        frames = _centered_frames(x, fftl, hop, n_frames)
     return d4c(frames, f0, fs, fftl)
 
 
@@ -110,11 +113,15 @@ def world_analyze(x: np.ndarray, fs: int, shiftms: float = 5.0,
     frame_rate = int(1.0 / (shiftms * 0.001))
     cont_f0_lpf = low_pass_filter(cont_f0, frame_rate, cutoff=20)
 
+    # both estimators consume the same centered frames — cut once
+    frames = _centered_frames(x, fftl, hop, n_frames)
     mcep = spectral_envelope_mcep(x, fs, shiftms, fftl, mcep_dim,
-                                  mcep_alpha, n_frames, cont_f0=cont_f0)
+                                  mcep_alpha, n_frames, cont_f0=cont_f0,
+                                  frames=frames)
     # D4C consumes the RAW f0 (zeros for unvoiced -> 0 dB aperiodicity),
     # matching how the reference feeds WORLD's f0 into the ap analysis
-    codeap = band_aperiodicity(x, fs, f0, shiftms, n_frames, fftl=fftl)
+    codeap = band_aperiodicity(x, fs, f0, shiftms, n_frames, fftl=fftl,
+                               frames=frames)
 
     return np.concatenate([uv[:, None].astype(np.float64),
                            cont_f0_lpf[:, None], mcep, codeap], axis=1)

@@ -35,6 +35,16 @@ def test_published_constants():
     assert CT.DEFAULT_F0 == 500.0
 
 
+def test_linear_smoothing_flat_at_edges():
+    """The fractional boxcar must preserve a flat spectrum all the way
+    to DC and Nyquist (regression: a 2-bin right extension truncated
+    the boxcar at Nyquist, drooping the top ~f0/3 band by ~2 dB)."""
+    for f0 in (100.0, 300.0, 500.0):
+        v = CT._linear_smoothing(np.ones((1, FFTL // 2 + 1)),
+                                 np.array([f0]), FS, FFTL)
+        np.testing.assert_allclose(v[0], 1.0, rtol=1e-10)
+
+
 def test_harmonic_comb_removed():
     """For a pulse train (flat envelope), the estimated envelope's
     ripple across [f0, fs/2 - f0] must be tiny compared to the ~40 dB
