@@ -205,3 +205,177 @@ def mlsa_filter_jax(x: jnp.ndarray, coef: jnp.ndarray, alpha: float,
     y = jnp.fft.irfft(jnp.fft.rfft(x, n=n_conv) * jnp.fft.rfft(h, n=n_conv),
                       n=n_conv)
     return y[: x.shape[-1]]
+
+
+# ---------------------------------------------------------------------------
+# WORLD analyses on device (parity with dsp/cheaptrick.py and dsp/d4c.py)
+# ---------------------------------------------------------------------------
+
+def _linear_smoothing_jax(spec: jnp.ndarray, f0: jnp.ndarray, fs: int,
+                          fftl: int) -> jnp.ndarray:
+    """Fractional-width (2/3 f0) rectangular smoothing on the continuous
+    frequency axis; parity with dsp.cheaptrick._linear_smoothing."""
+    n_half1 = fftl // 2 + 1
+    df = fs / fftl
+    # full reflection about DC and about Nyquist (see the numpy impl)
+    ext = jnp.concatenate([spec[:, 1:][:, ::-1], spec, spec[:, -2::-1]],
+                          axis=1)
+    n_ext = ext.shape[1]
+    orig0 = n_half1 - 1
+    cum = jnp.concatenate(
+        [jnp.zeros((spec.shape[0], 1), spec.dtype),
+         jnp.cumsum(0.5 * (ext[:, 1:] + ext[:, :-1]) * df, axis=1)], axis=1)
+
+    def integral_at(freq_pos):
+        pos = jnp.clip(freq_pos / df + orig0, 0, n_ext - 1.001)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        frac = (pos - lo).astype(spec.dtype)
+        base = jnp.take_along_axis(cum, lo, axis=1)
+        a = jnp.take_along_axis(ext, lo, axis=1)
+        b = jnp.take_along_axis(ext, jnp.minimum(lo + 1, n_ext - 1), axis=1)
+        return base + df * frac * (a + 0.5 * frac * (b - a))
+
+    width = (2.0 / 3.0) * f0[:, None]
+    freqs = (jnp.arange(n_half1) * df)[None, :]
+    upper = integral_at(freqs + width / 2.0)
+    lower = integral_at(freqs - width / 2.0)
+    return jnp.maximum((upper - lower) / width, 1e-10)
+
+
+@partial(jax.jit, static_argnames=("fs", "fftl"))
+def cheaptrick_jax(frames: jnp.ndarray, f0: jnp.ndarray, fs: int,
+                   fftl: int) -> jnp.ndarray:
+    """CheapTrick spectral envelopes (T, fftl//2+1) on device.
+
+    Step-for-step parity with dsp.cheaptrick.cheaptrick (the published
+    algorithm): F0-adaptive 3-period Hanning window with DC-bias
+    removal, DC correction below f0, fractional 2/3*f0 smoothing, and
+    the sinc + q1 = -0.15 liftering with recovery.
+    """
+    from pytorchwavenetvocoder_tpu.dsp.cheaptrick import (
+        DEFAULT_F0, Q1)
+
+    frames = jnp.asarray(frames)
+    dt = frames.dtype
+    f0 = jnp.asarray(f0, dt)
+    f0_floor = 3.0 * fs / fftl
+    f0 = jnp.clip(jnp.where(f0 > 0, f0, DEFAULT_F0), f0_floor, fs / 8.0)
+    n_half1 = fftl // 2 + 1
+
+    # F0-adaptive window, unit power, weighted-mean (DC bias) removal
+    half = jnp.minimum(jnp.round(1.5 * fs / f0).astype(jnp.int32),
+                       fftl // 2 - 1)
+    idx = (jnp.arange(fftl) - fftl // 2)[None, :]
+    in_win = jnp.abs(idx) <= half[:, None]
+    win = jnp.where(
+        in_win,
+        0.5 + 0.5 * jnp.cos(jnp.pi * idx / (half[:, None] + 1.0)), 0.0
+    ).astype(dt)
+    win = win / (jnp.sqrt(jnp.sum(win ** 2, axis=1, keepdims=True)) + 1e-12)
+    wsum = jnp.sum(win, axis=1, keepdims=True)
+    bias = jnp.sum(win * frames, axis=1, keepdims=True) / jnp.maximum(
+        wsum, 1e-12)
+    xw = (frames - bias) * win
+    spec = jnp.abs(jnp.fft.rfft(xw, n=fftl, axis=1)) ** 2
+
+    # DC correction: add the mirror of the band above f0 below it
+    freqs = (jnp.arange(n_half1) * (fs / fftl)).astype(dt)
+    mirror_freq = 2.0 * f0[:, None] - freqs[None, :]
+    pos = jnp.clip(mirror_freq / (fs / fftl), 0, n_half1 - 1)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n_half1 - 1)
+    frac = (pos - lo).astype(dt)
+    mirrored = (jnp.take_along_axis(spec, lo, axis=1) * (1 - frac)
+                + jnp.take_along_axis(spec, hi, axis=1) * frac)
+    below = freqs[None, :] < f0[:, None]
+    spec = spec + jnp.where(below, mirrored, 0.0)
+
+    spec = _linear_smoothing_jax(spec, f0, fs, fftl) + 1e-10
+
+    # liftering with recovery
+    cep = jnp.fft.irfft(jnp.log(spec), n=fftl, axis=1)
+    q = jnp.arange(fftl) * (1.0 / fs)
+    q = jnp.minimum(q, fftl / fs - q).astype(dt)
+    arg = jnp.pi * f0[:, None] * q[None, :]
+    safe = jnp.maximum(arg, 1e-9)
+    sinc = jnp.where(arg > 1e-9, jnp.sin(safe) / safe, 1.0)
+    comp = (1.0 - 2.0 * Q1) + 2.0 * Q1 * jnp.cos(2.0 * arg)
+    return jnp.exp(jnp.fft.rfft(cep * sinc * comp, axis=1).real)
+
+
+@partial(jax.jit, static_argnames=("fs", "fftl"))
+def d4c_jax(frames: jnp.ndarray, f0: jnp.ndarray, fs: int,
+            fftl: int) -> jnp.ndarray:
+    """D4C coarse band aperiodicity (T, n_bands) in dB on device.
+
+    Parity with dsp.d4c.d4c; unvoiced frames (f0 <= 0) are fully
+    aperiodic (0 dB).  All frames are computed (static shapes) and the
+    unvoiced rows masked afterwards.
+    """
+    from pytorchwavenetvocoder_tpu.dsp.d4c import EPS, FLOOR_DB, n_codeap_bands
+    from pytorchwavenetvocoder_tpu.dsp.harvest import _nuttall
+
+    frames = jnp.asarray(frames)
+    dt = frames.dtype
+    f0 = jnp.asarray(f0, dt)
+    voiced = f0 > 0
+    n_bands = n_codeap_bands(fs)
+    f0_floor = 4.0 * fs / fftl
+    f0v = jnp.clip(jnp.where(voiced, f0, f0_floor), f0_floor, fs / 8.0)
+
+    # static group delay (steps 1-2)
+    half = jnp.minimum(jnp.round(2.0 * fs / f0v).astype(jnp.int32),
+                       fftl // 2 - 1)
+    idx = (jnp.arange(fftl) - fftl // 2)[None, :]
+    in_win = jnp.abs(idx) <= half[:, None]
+    ph = jnp.pi * idx / (half[:, None] + 1.0)
+    win = jnp.where(in_win,
+                    0.42 + 0.5 * jnp.cos(ph) + 0.08 * jnp.cos(2 * ph),
+                    0.0).astype(dt)
+    xw = frames * win
+    t_rel = (idx / fs).astype(dt)
+    X = jnp.fft.rfft(xw, axis=1)
+    Xt = jnp.fft.rfft(xw * t_rel, axis=1)
+    power = jnp.abs(X) ** 2
+    num = (Xt * jnp.conj(X)).real
+
+    def smooth(signal, width_hz):
+        pseudo_f0 = width_hz * 1.5
+        off = jnp.min(signal) - 1.0
+        return _linear_smoothing_jax(signal - off, pseudo_f0, fs, fftl) + off
+
+    num_s = smooth(num, f0v / 2.0)
+    pow_s = smooth(power, f0v / 2.0)
+    floor = jnp.maximum(jnp.max(pow_s, axis=1, keepdims=True) * 1e-8, EPS)
+    sgd = num_s / jnp.maximum(pow_s, floor) + 0.125 / f0v[:, None]
+
+    df = fs / fftl
+    n_half1 = fftl // 2 + 1
+    half_bins = int(round(3000.0 / df))
+    L = 2 * half_bins + 1
+    nuttall = jnp.asarray(_nuttall(L), dt)
+    n_seg_fft = 1
+    while n_seg_fft < L:
+        n_seg_fft *= 2
+    n_static = max(1, int(round(8.0 * n_seg_fft / L / 2.0)))
+
+    cols = []
+    for b in range(n_bands):
+        center = int(round(3000.0 * (b + 1) / df))
+        lo_b = center - half_bins
+        hi_b = center + half_bins + 1
+        lo_c, hi_c = max(lo_b, 0), min(hi_b, n_half1)
+        seg = jnp.zeros((sgd.shape[0], L), dt)
+        seg = seg.at[:, lo_c - lo_b: hi_c - lo_b].set(sgd[:, lo_c:hi_c])
+        seg = seg * nuttall[None, :]
+        P = jnp.abs(jnp.fft.rfft(seg, n=n_seg_fft, axis=1)) ** 2
+        P = P.at[:, 1:-1].multiply(2.0)
+        P_sorted = jnp.sort(P, axis=1)[:, ::-1]
+        total = jnp.sum(P_sorted, axis=1) + EPS
+        static_part = jnp.sum(P_sorted[:, :n_static], axis=1)
+        ratio = jnp.maximum(1.0 - static_part / total,
+                            10.0 ** (FLOOR_DB / 10.0))
+        cols.append(10.0 * jnp.log10(ratio))
+    out = jnp.stack(cols, axis=1)
+    out = jnp.where(voiced[:, None], out, 0.0)
+    return jnp.clip(out, FLOOR_DB, 0.0)

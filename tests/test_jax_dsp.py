@@ -86,3 +86,45 @@ def test_mlsa_filter_jax_matches_numpy(monkeypatch):
     ref = npm.mlsa_filter(x, coef, 0.41)
     out = np.asarray(mlsa_filter_jax(x, coef, 0.41))
     np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def _world_test_frames(T=40, fs=16000, fftl=1024):
+    rng = np.random.RandomState(0)
+    n = fftl + 80 * T
+    x = (np.sin(2 * np.pi * np.cumsum(np.full(n, 170.0)) / fs)
+         + 0.1 * rng.randn(n))
+    f0 = 180 + 30 * np.sin(2 * np.pi * 2 * np.arange(T) / T)
+    idx = np.arange(fftl)[None, :] + 80 * np.arange(T)[:, None]
+    return x[idx], f0
+
+
+def test_cheaptrick_jax_matches_numpy():
+    from pytorchwavenetvocoder_tpu.dsp.cheaptrick import cheaptrick
+    from pytorchwavenetvocoder_tpu.dsp.jax_dsp import cheaptrick_jax
+
+    fs, fftl = 16000, 1024
+    frames, f0 = _world_test_frames(fs=fs, fftl=fftl)
+    ref_db = 10 * np.log10(cheaptrick(frames, f0, fs, fftl))
+    # f64: bit-close
+    out = np.asarray(cheaptrick_jax(frames, f0, fs, fftl))
+    np.testing.assert_allclose(10 * np.log10(out), ref_db, atol=1e-7)
+    # f32 (the TPU dtype): within a tenth of a dB everywhere
+    out32 = np.asarray(cheaptrick_jax(frames.astype(np.float32),
+                                      f0.astype(np.float32), fs, fftl))
+    assert np.abs(10 * np.log10(out32.astype(np.float64)) - ref_db).max() < 0.2
+
+
+def test_d4c_jax_matches_numpy():
+    from pytorchwavenetvocoder_tpu.dsp.d4c import d4c
+    from pytorchwavenetvocoder_tpu.dsp.jax_dsp import d4c_jax
+
+    fs, fftl = 16000, 1024
+    frames, f0 = _world_test_frames(fs=fs, fftl=fftl)
+    f0[::7] = 0.0  # unvoiced rows must come back exactly 0 dB
+    ref = d4c(frames, f0, fs, fftl)
+    out = np.asarray(d4c_jax(frames, f0, fs, fftl))
+    np.testing.assert_allclose(out, ref, atol=1e-7)
+    assert np.all(out[::7] == 0.0)
+    out32 = np.asarray(d4c_jax(frames.astype(np.float32),
+                               f0.astype(np.float32), fs, fftl))
+    assert np.abs(out32 - ref).max() < 0.5  # top-k power split in f32
