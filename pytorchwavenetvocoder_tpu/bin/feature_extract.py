@@ -54,8 +54,15 @@ def _maybe_save_wav(wav_name: str, fs: int, x: np.ndarray, args) -> None:
 
 def world_feature_extract(wav_list, args) -> None:
     """[uv, cont_f0_lpf, mcep, codeap] -> /world (reference :151-196)."""
-    from pytorchwavenetvocoder_tpu.dsp.world import world_analyze
     from pytorchwavenetvocoder_tpu.utils import write_hdf5
+
+    if getattr(args, "device", "host") == "jax":
+        # CheapTrick + sp2mc + D4C batched through XLA (TPU if present);
+        # Harvest F0 stays host-side (sequential event processing)
+        from pytorchwavenetvocoder_tpu.dsp.jax_dsp import (
+            world_analyze_jax as world_analyze)
+    else:
+        from pytorchwavenetvocoder_tpu.dsp.world import world_analyze
 
     for i, wav_name in enumerate(wav_list):
         logging.info("now processing %s (%d/%d)", wav_name, i + 1, len(wav_list))
@@ -78,12 +85,30 @@ def melspectrogram_extract(wav_list, args) -> None:
         fs, x = _load_and_prefilter(wav_name, args)
         x_norm = x / (np.iinfo(np.int16).max + 1)
         shiftl = int(args.shiftms * fs * 0.001)
-        mspc = melspectrogram(
-            x_norm, fs, n_fft=args.fftl, hop_length=shiftl,
-            n_mels=args.mspc_dim,
-            fmin=args.fmin if args.fmin is not None else 0,
-            fmax=args.fmax if args.fmax is not None else fs // 2,
-            power=1.0)
+        if getattr(args, "device", "host") == "jax":
+            from pytorchwavenetvocoder_tpu.dsp.jax_dsp import (
+                melspectrogram_jax)
+
+            # reflect-pad (STFT centering) on the true signal FIRST,
+            # then zero-pad to a length bucket so XLA compiles per
+            # bucket, not per utterance length; surplus frames sliced
+            n_frames = len(x_norm) // shiftl + 1
+            xr = np.pad(x_norm, (args.fftl // 2, args.fftl // 2),
+                        mode="reflect")
+            pad = -len(xr) % 16384
+            mspc = np.asarray(melspectrogram_jax(
+                np.pad(xr, (0, pad)), fs, n_fft=args.fftl,
+                hop_length=shiftl, n_mels=args.mspc_dim,
+                fmin=args.fmin if args.fmin is not None else 0,
+                fmax=args.fmax if args.fmax is not None else fs // 2,
+                power=1.0, center=False))[:n_frames]
+        else:
+            mspc = melspectrogram(
+                x_norm, fs, n_fft=args.fftl, hop_length=shiftl,
+                n_mels=args.mspc_dim,
+                fmin=args.fmin if args.fmin is not None else 0,
+                fmax=args.fmax if args.fmax is not None else fs // 2,
+                power=1.0)
         mspc = np.log10(np.maximum(EPS, mspc))
         hdf5name = args.hdf5dir + "/" + os.path.basename(wav_name).replace(".wav", ".h5")
         write_hdf5(hdf5name, "/melspc", np.float32(mspc))
@@ -99,7 +124,17 @@ def melcepstrum_extract(wav_list, args) -> None:
         logging.info("now processing %s (%d/%d)", wav_name, i + 1, len(wav_list))
         fs, x = _load_and_prefilter(wav_name, args)
         shiftl = int(args.shiftms * fs * 0.001)
-        mcep = stft_mcep(x, args.fftl, shiftl, args.mcep_dim, args.mcep_alpha)
+        if getattr(args, "device", "host") == "jax":
+            from pytorchwavenetvocoder_tpu.dsp.jax_dsp import stft_mcep_jax
+
+            n_frame = max(0, (len(x) - args.fftl) // shiftl + 1)
+            pad = -len(x) % 16384
+            mcep = np.asarray(stft_mcep_jax(
+                np.pad(x, (0, pad)), args.fftl, shiftl, args.mcep_dim,
+                args.mcep_alpha))[:n_frame]
+        else:
+            mcep = stft_mcep(x, args.fftl, shiftl, args.mcep_dim,
+                             args.mcep_alpha)
         hdf5name = args.hdf5dir + "/" + os.path.basename(wav_name).replace(".wav", ".h5")
         write_hdf5(hdf5name, "/mcep", np.float32(mcep))
         _maybe_save_wav(wav_name, fs, x, args)
@@ -126,6 +161,10 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--mcep_alpha", default=0.41, type=float)
     parser.add_argument("--fftl", default=1024, type=int)
     parser.add_argument("--highpass_cutoff", default=70, type=int)
+    parser.add_argument("--device", default="host", choices=["host", "jax"],
+                        help="host: numpy/C++ DSP with --n_jobs process "
+                        "fan-out; jax: spectral analyses batched through "
+                        "XLA (TPU when available, single process)")
     parser.add_argument("--save_wav", default=True, type=strtobool)
     parser.add_argument("--n_jobs", default=10, type=int)
     parser.add_argument("--verbose", default=1, type=int)
@@ -156,6 +195,10 @@ def main(argv=None) -> None:
                  "mcep": melcepstrum_extract}[args.feature_type]
 
     n_jobs = max(1, min(args.n_jobs, len(file_list)))
+    if args.device == "jax" and n_jobs > 1:
+        logging.info("--device jax runs single-process (the accelerator "
+                     "is the parallel axis); ignoring --n_jobs %d", n_jobs)
+        n_jobs = 1
     if n_jobs == 1:
         target_fn(file_list, args)
         return

@@ -48,14 +48,21 @@ def stft_jax(x: jnp.ndarray, n_fft: int = 1024, hop_length: int = 256,
 
 
 @partial(jax.jit, static_argnames=("fs", "n_fft", "hop_length", "n_mels",
-                                   "fmin", "fmax", "power", "log10"))
+                                   "fmin", "fmax", "power", "log10",
+                                   "center"))
 def melspectrogram_jax(x: jnp.ndarray, fs: int, n_fft: int = 1024,
                        hop_length: int = 256, n_mels: int = 80,
                        fmin: float = 0.0, fmax: float | None = None,
-                       power: float = 1.0, log10: bool = False) -> jnp.ndarray:
+                       power: float = 1.0, log10: bool = False,
+                       center: bool = True) -> jnp.ndarray:
     """Mel spectrogram (..., n_frames, n_mels); parity with
-    dsp.spectral.melspectrogram (+ optional log10(max(eps, .)))."""
-    spec = jnp.abs(stft_jax(x, n_fft=n_fft, hop_length=hop_length)) ** power
+    dsp.spectral.melspectrogram (+ optional log10(max(eps, .))).
+
+    ``center=False`` lets a caller that length-buckets its input do the
+    reflect padding itself (zero-padding a centered signal would corrupt
+    the reflection at the true signal end)."""
+    spec = jnp.abs(stft_jax(x, n_fft=n_fft, hop_length=hop_length,
+                            center=center)) ** power
     fb = jnp.asarray(mel_filterbank(fs, n_fft, n_mels, fmin, fmax),
                      spec.dtype)
     m = spec @ fb.T
@@ -379,3 +386,60 @@ def d4c_jax(frames: jnp.ndarray, f0: jnp.ndarray, fs: int,
     out = jnp.stack(cols, axis=1)
     out = jnp.where(voiced[:, None], out, 0.0)
     return jnp.clip(out, FLOOR_DB, 0.0)
+
+
+@partial(jax.jit, static_argnames=("fs", "fftl", "mcep_dim", "mcep_alpha"))
+def _world_frames_jax(frames: jnp.ndarray, cont_f0: jnp.ndarray,
+                      f0_raw: jnp.ndarray, fs: int, fftl: int,
+                      mcep_dim: int, mcep_alpha: float):
+    """Device part of the WORLD analysis: (mcep, codeap) from frames."""
+    env = cheaptrick_jax(frames, cont_f0, fs, fftl)
+    mcep = sp2mc_jax(jnp.maximum(env, 1e-10), mcep_dim, mcep_alpha)
+    codeap = d4c_jax(frames, f0_raw, fs, fftl)
+    return mcep, codeap
+
+
+def world_analyze_jax(x: np.ndarray, fs: int, shiftms: float = 5.0,
+                      minf0: float = 40.0, maxf0: float = 400.0,
+                      fftl: int = 1024, mcep_dim: int = 24,
+                      mcep_alpha: float = 0.41,
+                      frame_bucket: int = 256) -> np.ndarray:
+    """WORLD feature matrix with the spectral analyses on device.
+
+    Same output contract as ``dsp.world.world_analyze`` — columns
+    [uv, cont_f0_lpf, mcep..., codeap...] — but CheapTrick, sp2mc, and
+    D4C run batched through XLA (TPU when available).  Harvest F0 stays
+    on the host (sequential event processing).  Frame counts are padded
+    up to multiples of ``frame_bucket`` so XLA compiles one kernel per
+    bucket instead of one per utterance length.
+    """
+    from pytorchwavenetvocoder_tpu.dsp.f0 import (
+        convert_to_continuous_f0, extract_f0)
+    from pytorchwavenetvocoder_tpu.dsp.filters import low_pass_filter
+    from pytorchwavenetvocoder_tpu.dsp.world import _centered_frames
+
+    x = np.asarray(x, np.float64)
+    hop = int(fs * shiftms / 1000.0)
+    n_frames = len(x) // hop + 1
+
+    f0 = extract_f0(x, fs, minf0=minf0, maxf0=maxf0, shiftms=shiftms)
+    f0 = f0[:n_frames]
+    if len(f0) < n_frames:
+        f0 = np.pad(f0, (0, n_frames - len(f0)))
+    uv, cont_f0 = convert_to_continuous_f0(f0)
+    frame_rate = int(1.0 / (shiftms * 0.001))
+    cont_f0_lpf = low_pass_filter(cont_f0, frame_rate, cutoff=20)
+
+    frames = _centered_frames(x, fftl, hop, n_frames)
+    T_pad = -(-n_frames // frame_bucket) * frame_bucket
+    pad = T_pad - n_frames
+    frames_p = np.pad(frames, ((0, pad), (0, 0)))
+    cont_p = np.pad(cont_f0, (0, pad), mode="edge")
+    f0_p = np.pad(f0, (0, pad))  # padded rows: unvoiced -> codeap 0 dB
+
+    mcep, codeap = _world_frames_jax(frames_p, cont_p, f0_p, fs, fftl,
+                                     mcep_dim, mcep_alpha)
+    mcep = np.asarray(mcep)[:n_frames]
+    codeap = np.asarray(codeap)[:n_frames]
+    return np.concatenate([uv[:, None].astype(np.float64),
+                           cont_f0_lpf[:, None], mcep, codeap], axis=1)

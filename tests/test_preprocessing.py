@@ -124,3 +124,35 @@ def test_noise_shaping_requires_stats(tmp_path):
                             "--outdir", str(tmp_path / "o"),
                             "--stats", str(tmp_path / "missing.h5"),
                             "--verbose", "0"])
+
+
+@pytest.mark.parametrize("feature_type", ["world", "melspc", "mcep"])
+def test_feature_extract_cli_device_jax(tmp_path, feature_type):
+    """--device jax (XLA spectral analyses) matches the host path."""
+    from pytorchwavenetvocoder_tpu.bin import feature_extract
+
+    fs = 16000
+    wavs = make_dummy_wavs(tmp_path)
+    scp = tmp_path / "wav.scp"
+    scp.write_text("\n".join(wavs) + "\n")
+    fftl = "1024" if feature_type != "mcep" else "512"
+    common = [
+        "--waveforms", str(scp), "--fs", str(fs), "--shiftms", "5",
+        "--feature_type", feature_type, "--minf0", "70", "--maxf0", "300",
+        "--mcep_dim", "24", "--mspc_dim", "80", "--fftl", fftl,
+        "--save_wav", "false", "--verbose", "0"]
+    feature_extract.main(
+        common + ["--hdf5dir", str(tmp_path / "h_host"), "--n_jobs", "1"])
+    feature_extract.main(
+        common + ["--hdf5dir", str(tmp_path / "h_jax"), "--device", "jax",
+                  "--n_jobs", "2"])  # n_jobs must be ignored on jax
+
+    for i in range(2):
+        a = read_hdf5(str(tmp_path / "h_host" / f"utt{i}.h5"),
+                      "/" + feature_type)
+        b = read_hdf5(str(tmp_path / "h_jax" / f"utt{i}.h5"),
+                      "/" + feature_type)
+        assert a.shape == b.shape
+        # conftest enables x64 on CPU -> near-bit parity; the stored
+        # features are float32, so compare at f32 resolution
+        np.testing.assert_allclose(b, a, atol=5e-5, rtol=1e-4)
