@@ -58,11 +58,44 @@ def world_feature_extract(wav_list, args) -> None:
 
     if getattr(args, "device", "host") == "jax":
         # CheapTrick + sp2mc + D4C batched through XLA (TPU if present);
-        # Harvest F0 stays host-side (sequential event processing)
+        # Harvest F0 stays host-side.  Frames from MANY utterances share
+        # fixed-shape device batches, amortizing the dispatch cost and
+        # compiling exactly one kernel shape.
         from pytorchwavenetvocoder_tpu.dsp.jax_dsp import (
-            world_analyze_jax as world_analyze)
-    else:
-        from pytorchwavenetvocoder_tpu.dsp.world import world_analyze
+            world_analyze_jax_many)
+
+        group_frames = 8192  # ~2 device batches of 4096 frames
+        hop = int(args.fs * args.shiftms / 1000.0)
+        group, n_queued, done = [], 0, 0
+
+        def flush():
+            nonlocal group, n_queued, done
+            if not group:
+                return
+            feats = world_analyze_jax_many(
+                [x for _, _, x in group], args.fs, shiftms=args.shiftms,
+                minf0=args.minf0, maxf0=args.maxf0, fftl=args.fftl,
+                mcep_dim=args.mcep_dim, mcep_alpha=args.mcep_alpha)
+            for (wav_name, fs, x), f in zip(group, feats):
+                hdf5name = (args.hdf5dir + "/"
+                            + os.path.basename(wav_name).replace(".wav", ".h5"))
+                write_hdf5(hdf5name, "/world", np.float32(f))
+                _maybe_save_wav(wav_name, fs, x, args)
+            done += len(group)
+            logging.info("device batch done (%d/%d utterances)",
+                         done, len(wav_list))
+            group, n_queued = [], 0
+
+        for wav_name in wav_list:
+            fs, x = _load_and_prefilter(wav_name, args)
+            group.append((wav_name, fs, x))
+            n_queued += len(x) // hop + 1
+            if n_queued >= group_frames:
+                flush()
+        flush()
+        return
+
+    from pytorchwavenetvocoder_tpu.dsp.world import world_analyze
 
     for i, wav_name in enumerate(wav_list):
         logging.info("now processing %s (%d/%d)", wav_name, i + 1, len(wav_list))

@@ -443,3 +443,71 @@ def world_analyze_jax(x: np.ndarray, fs: int, shiftms: float = 5.0,
     codeap = np.asarray(codeap)[:n_frames]
     return np.concatenate([uv[:, None].astype(np.float64),
                            cont_f0_lpf[:, None], mcep, codeap], axis=1)
+
+
+def world_analyze_jax_many(xs: list, fs: int, shiftms: float = 5.0,
+                           minf0: float = 40.0, maxf0: float = 400.0,
+                           fftl: int = 1024, mcep_dim: int = 24,
+                           mcep_alpha: float = 0.41,
+                           device_batch: int = 4096) -> list:
+    """WORLD analysis of MANY waveforms with cross-utterance batching.
+
+    CheapTrick and D4C are strictly per-frame, so frames from different
+    utterances can share a device batch: all utterances' frames are
+    concatenated and processed in fixed ``(device_batch, fftl)`` slices
+    — exactly one compiled shape regardless of utterance lengths, with
+    the device dispatch cost amortized over every utterance in the
+    group.  Harvest F0 runs per utterance on the host.  Returns one
+    feature matrix per input, identical to ``world_analyze_jax``.
+    """
+    from pytorchwavenetvocoder_tpu.dsp.f0 import (
+        convert_to_continuous_f0, extract_f0)
+    from pytorchwavenetvocoder_tpu.dsp.filters import low_pass_filter
+    from pytorchwavenetvocoder_tpu.dsp.world import _centered_frames
+
+    hop = int(fs * shiftms / 1000.0)
+    frame_rate = int(1.0 / (shiftms * 0.001))
+    per_utt = []
+    for x in xs:
+        x = np.asarray(x, np.float64)
+        n_frames = len(x) // hop + 1
+        f0 = extract_f0(x, fs, minf0=minf0, maxf0=maxf0, shiftms=shiftms)
+        f0 = f0[:n_frames]
+        if len(f0) < n_frames:
+            f0 = np.pad(f0, (0, n_frames - len(f0)))
+        uv, cont_f0 = convert_to_continuous_f0(f0)
+        cont_f0_lpf = low_pass_filter(cont_f0, frame_rate, cutoff=20)
+        per_utt.append({
+            "n": n_frames, "uv": uv, "lpf": cont_f0_lpf,
+            "frames": _centered_frames(x, fftl, hop, n_frames),
+            "cont": cont_f0, "f0": f0,
+        })
+
+    frames = np.concatenate([u["frames"] for u in per_utt])
+    cont = np.concatenate([u["cont"] for u in per_utt])
+    f0_raw = np.concatenate([u["f0"] for u in per_utt])
+    total = len(frames)
+    pad = -total % device_batch
+    frames = np.pad(frames, ((0, pad), (0, 0)))
+    cont = np.pad(cont, (0, pad), mode="edge")
+    f0_raw = np.pad(f0_raw, (0, pad))  # padded rows unvoiced
+
+    mceps, codeaps = [], []
+    for s in range(0, total + pad, device_batch):
+        m, c = _world_frames_jax(frames[s:s + device_batch],
+                                 cont[s:s + device_batch],
+                                 f0_raw[s:s + device_batch],
+                                 fs, fftl, mcep_dim, mcep_alpha)
+        mceps.append(np.asarray(m))
+        codeaps.append(np.asarray(c))
+    mcep = np.concatenate(mceps)[:total]
+    codeap = np.concatenate(codeaps)[:total]
+
+    out, off = [], 0
+    for u in per_utt:
+        n = u["n"]
+        out.append(np.concatenate(
+            [u["uv"][:, None].astype(np.float64), u["lpf"][:, None],
+             mcep[off:off + n], codeap[off:off + n]], axis=1))
+        off += n
+    return out

@@ -128,3 +128,29 @@ def test_d4c_jax_matches_numpy():
     out32 = np.asarray(d4c_jax(frames.astype(np.float32),
                                f0.astype(np.float32), fs, fftl))
     assert np.abs(out32 - ref).max() < 0.5  # top-k power split in f32
+
+
+def test_world_analyze_jax_many_matches_single():
+    """Cross-utterance frame batching == per-utterance analysis.
+
+    device_batch=64 forces several device slices whose boundaries fall
+    inside utterances, exercising the concatenate/pad/split bookkeeping.
+    """
+    from pytorchwavenetvocoder_tpu.dsp.jax_dsp import (
+        world_analyze_jax, world_analyze_jax_many)
+
+    fs = 16000
+    rng = np.random.RandomState(7)
+    xs = []
+    for dur, f0 in [(0.31, 120.0), (0.44, 200.0), (0.23, 90.0)]:
+        t = np.arange(int(fs * dur)) / fs
+        xs.append(np.sin(2 * np.pi * f0 * t) + 0.01 * rng.randn(len(t)))
+
+    many = world_analyze_jax_many(xs, fs, minf0=60, maxf0=300,
+                                  device_batch=64)
+    for x, got in zip(xs, many):
+        ref = world_analyze_jax(x, fs, minf0=60, maxf0=300)
+        assert got.shape == ref.shape
+        # XLA reduction order differs between batch shapes (64 vs the
+        # single path's 256 bucket) -> not bit-exact, but ~1e-6 in f64
+        np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
