@@ -319,8 +319,11 @@ void wndsp_decode_mu_law(const int32_t* y, int n, int mu, double* x) {
 // band-constrained DTW over Euclidean frame distance (the MCD parity
 // harness's alignment; mirrors eval/mcd.py::_dtw_path cell-for-cell:
 // same Sakoe-Chiba band around the i*Tb/Ta diagonal and the same
-// tie-breaking order up(<) / diag(<=) / left(<), so the two paths are
-// identical and the numpy version remains the executable spec)
+// tie-breaking order up(<) / diag(<=) / left(<), and the same strict
+// left-to-right per-cell distance accumulation over dims — the numpy
+// spec sums column-by-column for exactly this reason — so the two
+// paths are identical and the numpy version remains the executable
+// spec)
 // ---------------------------------------------------------------------
 // a: (Ta, dim) row-major, b: (Tb, dim).  path_i/path_j/path_cost must
 // hold Ta+Tb entries.  Returns the path length, or -1 when the band is

@@ -409,40 +409,16 @@ def world_analyze_jax(x: np.ndarray, fs: int, shiftms: float = 5.0,
     Same output contract as ``dsp.world.world_analyze`` — columns
     [uv, cont_f0_lpf, mcep..., codeap...] — but CheapTrick, sp2mc, and
     D4C run batched through XLA (TPU when available).  Harvest F0 stays
-    on the host (sequential event processing).  Frame counts are padded
-    up to multiples of ``frame_bucket`` so XLA compiles one kernel per
-    bucket instead of one per utterance length.
+    on the host (sequential event processing).  Thin wrapper over
+    ``world_analyze_jax_many`` (the production path behind
+    ``feature_extract --device jax``) with ``frame_bucket`` as the
+    device batch, so the host prep and padding bookkeeping live in
+    exactly one place.
     """
-    from pytorchwavenetvocoder_tpu.dsp.f0 import (
-        convert_to_continuous_f0, extract_f0)
-    from pytorchwavenetvocoder_tpu.dsp.filters import low_pass_filter
-    from pytorchwavenetvocoder_tpu.dsp.world import _centered_frames
-
-    x = np.asarray(x, np.float64)
-    hop = int(fs * shiftms / 1000.0)
-    n_frames = len(x) // hop + 1
-
-    f0 = extract_f0(x, fs, minf0=minf0, maxf0=maxf0, shiftms=shiftms)
-    f0 = f0[:n_frames]
-    if len(f0) < n_frames:
-        f0 = np.pad(f0, (0, n_frames - len(f0)))
-    uv, cont_f0 = convert_to_continuous_f0(f0)
-    frame_rate = int(1.0 / (shiftms * 0.001))
-    cont_f0_lpf = low_pass_filter(cont_f0, frame_rate, cutoff=20)
-
-    frames = _centered_frames(x, fftl, hop, n_frames)
-    T_pad = -(-n_frames // frame_bucket) * frame_bucket
-    pad = T_pad - n_frames
-    frames_p = np.pad(frames, ((0, pad), (0, 0)))
-    cont_p = np.pad(cont_f0, (0, pad), mode="edge")
-    f0_p = np.pad(f0, (0, pad))  # padded rows: unvoiced -> codeap 0 dB
-
-    mcep, codeap = _world_frames_jax(frames_p, cont_p, f0_p, fs, fftl,
-                                     mcep_dim, mcep_alpha)
-    mcep = np.asarray(mcep)[:n_frames]
-    codeap = np.asarray(codeap)[:n_frames]
-    return np.concatenate([uv[:, None].astype(np.float64),
-                           cont_f0_lpf[:, None], mcep, codeap], axis=1)
+    return world_analyze_jax_many(
+        [x], fs, shiftms=shiftms, minf0=minf0, maxf0=maxf0, fftl=fftl,
+        mcep_dim=mcep_dim, mcep_alpha=mcep_alpha,
+        device_batch=frame_bucket)[0]
 
 
 def world_analyze_jax_many(xs: list, fs: int, shiftms: float = 5.0,

@@ -40,12 +40,17 @@ def _dtw_path(a: np.ndarray, b: np.ndarray, band: int):
     Dispatches to the C++ ``wndsp_dtw_band`` when the native library is
     built (bit-identical path, ~16-100x faster — full 104-utterance eval
     sets in seconds); ``_dtw_path_numpy`` is the executable spec and
-    tests assert the two paths are equal.
+    tests assert the two paths are equal.  Set ``WNDSP_DISABLE_NATIVE=1``
+    to force the numpy implementation (same switch as the other native
+    dispatches).
     """
-    from pytorchwavenetvocoder_tpu import native
+    import os
 
-    if native.dtw_available():
-        return native.dtw_band(a, b, band)
+    if not os.environ.get("WNDSP_DISABLE_NATIVE"):
+        from pytorchwavenetvocoder_tpu import native
+
+        if native.dtw_available():
+            return native.dtw_band(a, b, band)
     return _dtw_path_numpy(a, b, band)
 
 
@@ -56,10 +61,21 @@ def _dtw_path_numpy(a: np.ndarray, b: np.ndarray, band: int):
     acc = np.full((Ta, Tb), INF)
     dist = np.full((Ta, Tb), INF)
     back = np.zeros((Ta, Tb), np.int8)  # 0=diag 1=up(i-1,j) 2=left(i,j-1)
+    dim = a.shape[1]
     for i in range(Ta):
         lo = max(0, i * Tb // Ta - band)
         hi = min(Tb, i * Tb // Ta + band + 1)
-        d = np.sqrt(np.sum((b[lo:hi] - a[i]) ** 2, axis=1))
+        # strict left-to-right accumulation over dims: np.sum's pairwise
+        # reduction rounds differently from the native kernel's
+        # sequential loop (~1 ulp), which could flip a near-tie
+        # tie-break and break the bit-identical-path contract with
+        # wndsp_dtw_band; summing column-by-column pins both
+        # implementations to the same order
+        sq = (b[lo:hi] - a[i]) ** 2
+        acc_d = np.zeros(hi - lo)
+        for c in range(dim):
+            acc_d += sq[:, c]
+        d = np.sqrt(acc_d)
         dist[i, lo:hi] = d
         if i == 0:
             acc[0, lo:hi] = np.cumsum(d)
