@@ -109,7 +109,28 @@ def test_native_dtw_matches_numpy_spec():
         ni, nj, nc = native.dtw_band(a, b, band)
         assert np.array_equal(pi, ni), (ta, tb, band)
         assert np.array_equal(pj, nj), (ta, tb, band)
-        np.testing.assert_allclose(pc, nc, rtol=1e-12)
+        # same strict left-to-right distance accumulation on both sides
+        # -> costs are bit-identical, not merely close
+        assert np.array_equal(pc, nc), (ta, tb, band)
+
+
+def test_dtw_dispatch_honors_native_kill_switch(monkeypatch):
+    """WNDSP_DISABLE_NATIVE=1 must force the numpy DTW like every other
+    native dispatch (regression: _dtw_path used to ignore it)."""
+    from pytorchwavenetvocoder_tpu import native
+    from pytorchwavenetvocoder_tpu.eval import mcd as mcd_mod
+
+    if not native.dtw_available():
+        pytest.skip("native library not built")
+    monkeypatch.setenv("WNDSP_DISABLE_NATIVE", "1")
+
+    def boom(*a, **k):  # the native path must not be consulted at all
+        raise AssertionError("native.dtw_band called despite kill switch")
+
+    monkeypatch.setattr(native, "dtw_band", boom)
+    a, b = np.random.RandomState(0).randn(30, 5), np.zeros((28, 5))
+    pi, pj, pc = mcd_mod._dtw_path(a, b, 4)
+    assert len(pi) == len(pj) == len(pc) >= max(len(a), len(b))
 
 
 def test_eval_mcd_cli(tmp_path):
