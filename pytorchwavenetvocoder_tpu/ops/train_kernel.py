@@ -420,7 +420,7 @@ def _fwd_pallas(config, lw, stream0, h_up, interpret=False,
         num_scalar_prefetch=1,
         grid=(B, L, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),                     # x0
+            pl.BlockSpec(memory_space=pl.ANY),                     # x0
             pl.BlockSpec((1, M, HA), lambda b, l, m, *_: (b, m, 0)),  # h
             pl.BlockSpec((1, k, R, 2 * R), lambda b, l, m, *_: (l, 0, 0, 0)),
             pl.BlockSpec((1, HA, 2 * R), lambda b, l, m, *_: (l, 0, 0)),
@@ -431,9 +431,9 @@ def _fwd_pallas(config, lw, stream0, h_up, interpret=False,
             pl.BlockSpec((1, 1, R), lambda b, l, m, *_: (l, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # skip_sum
-            pl.BlockSpec(memory_space=pltpu.ANY),   # streams
-            pl.BlockSpec(memory_space=pltpu.ANY),   # sigma/tanh saves
+            pl.BlockSpec(memory_space=pl.ANY),   # skip_sum
+            pl.BlockSpec(memory_space=pl.ANY),   # streams
+            pl.BlockSpec(memory_space=pl.ANY),   # sigma/tanh saves
         ],
         scratch_shapes=[
             pltpu.VMEM((2, M, R), jnp.bfloat16),        # x_land
@@ -700,9 +700,9 @@ def _bwd_pallas(config, lw, x0, streams, st, hb, dskip, interpret=False):
         num_scalar_prefetch=1,
         grid=(L, B, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x0
-            pl.BlockSpec(memory_space=pltpu.ANY),   # streams
-            pl.BlockSpec(memory_space=pltpu.ANY),   # sigma/tanh saves
+            pl.BlockSpec(memory_space=pl.ANY),   # x0
+            pl.BlockSpec(memory_space=pl.ANY),   # streams
+            pl.BlockSpec(memory_space=pl.ANY),   # sigma/tanh saves
             pl.BlockSpec((1, M, S),
                          lambda li, b, m, *_: (b, n_tiles - 1 - m, 0)),
             pl.BlockSpec((1, M, HA),
@@ -725,9 +725,9 @@ def _bwd_pallas(config, lw, x0, streams, st, hb, dskip, interpret=False):
                          lambda li, b, m, *_: (L - 1 - li, 0, 0)),
             pl.BlockSpec((1, 1, R),
                          lambda li, b, m, *_: (L - 1 - li, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # dx0
-            pl.BlockSpec(memory_space=pltpu.ANY),   # dh partials
-            pl.BlockSpec(memory_space=pltpu.ANY),   # dx ping-pong (scratch)
+            pl.BlockSpec(memory_space=pl.ANY),   # dx0
+            pl.BlockSpec(memory_space=pl.ANY),   # dh partials
+            pl.BlockSpec(memory_space=pl.ANY),   # dx ping-pong (scratch)
         ],
         scratch_shapes=[
             pltpu.VMEM((2, M, R), jnp.bfloat16),        # x_tile
