@@ -8,6 +8,31 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
+
+
+def enable_compilation_cache() -> None:
+    """Persist XLA/Mosaic compilations across CLI invocations.
+
+    The Pallas kernels take minutes to compile against a TPU backend;
+    without a persistent cache every CLI process (each recipe stage is
+    its own process) pays that again.  Honors JAX_COMPILATION_CACHE_DIR
+    when the user sets it (jax reads that env var itself); otherwise
+    defaults to ~/.cache/pytorchwavenetvocoder_tpu/xla.  Best-effort:
+    an unwritable cache dir only logs a debug line.
+    """
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    import jax
+
+    cache = os.path.join(os.path.expanduser("~"), ".cache",
+                         "pytorchwavenetvocoder_tpu", "xla")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as exc:  # cache is an optimization, never fatal
+        logging.debug("persistent compilation cache not enabled: %s", exc)
 
 
 def configure_logging(verbose: int) -> None:

@@ -18,7 +18,11 @@ import time
 
 import numpy as np
 
-from pytorchwavenetvocoder_tpu.bin.common import configure_logging, echo_args
+from pytorchwavenetvocoder_tpu.bin.common import (
+    configure_logging,
+    echo_args,
+    enable_compilation_cache,
+)
 
 
 def get_parser() -> argparse.ArgumentParser:
@@ -62,6 +66,7 @@ def main(argv=None) -> None:
     configure_logging(args.verbose)
     echo_args(args)
 
+    enable_compilation_cache()
     import jax
 
     from pytorchwavenetvocoder_tpu.data import decode_generator

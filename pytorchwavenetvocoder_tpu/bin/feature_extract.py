@@ -22,6 +22,7 @@ import numpy as np
 from pytorchwavenetvocoder_tpu.bin.common import (
     configure_logging,
     echo_args,
+    enable_compilation_cache,
     strtobool,
 )
 
@@ -208,6 +209,8 @@ def main(argv=None) -> None:
     args = get_parser().parse_args(argv)
     configure_logging(args.verbose)
     echo_args(args)
+    if args.device == "jax":
+        enable_compilation_cache()
 
     from pytorchwavenetvocoder_tpu.utils import find_files, read_txt
 

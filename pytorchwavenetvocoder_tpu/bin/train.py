@@ -21,6 +21,7 @@ import numpy as np
 
 from pytorchwavenetvocoder_tpu.bin.common import (
     configure_logging,
+    enable_compilation_cache,
     echo_args,
     strtobool,
 )
@@ -96,6 +97,7 @@ def main(argv=None) -> None:
     configure_logging(args.verbose)
     echo_args(args)
 
+    enable_compilation_cache()
     import jax
 
     from pytorchwavenetvocoder_tpu.data import train_generator

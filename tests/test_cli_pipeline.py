@@ -161,3 +161,27 @@ def test_train_resume_latest(dataset, tmp_path):
     # auto-resume continues from iter 2 to 4
     train.main(common + ["--iters", "4"])
     assert os.path.exists(os.path.join(expdir, "checkpoint-4.pkl"))
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """CLIs persist XLA compilations under ~/.cache by default; an
+    explicit JAX_COMPILATION_CACHE_DIR (which jax reads itself) wins."""
+    import jax
+
+    from pytorchwavenetvocoder_tpu.bin.common import enable_compilation_cache
+
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+        monkeypatch.setenv("HOME", str(tmp_path))
+        enable_compilation_cache()
+        expect = os.path.join(str(tmp_path), ".cache",
+                              "pytorchwavenetvocoder_tpu", "xla")
+        assert jax.config.jax_compilation_cache_dir == expect
+        assert os.path.isdir(expect)
+        # user override: leave jax's own env-var handling alone
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", str(tmp_path / "o"))
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == expect  # untouched
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
