@@ -110,14 +110,18 @@ def freqt_jax(c: jnp.ndarray, order: int, alpha: float) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("order", "n_fft"))
 def sp2mc_jax(power_spec: jnp.ndarray, order: int, alpha: float,
-              n_fft: int | None = None) -> jnp.ndarray:
+              n_fft: int | None = None, floor=1e-10) -> jnp.ndarray:
     """Batched power spectrum -> mel-cepstrum (parity with
-    dsp.cepstrum.sp2mc): (..., n_fft//2+1) -> (..., order+1)."""
+    dsp.cepstrum.sp2mc): (..., n_fft//2+1) -> (..., order+1).
+
+    ``floor`` (scalar or broadcastable) is the absolute power floor
+    under the log; rescaled callers must rescale it with their input.
+    """
     ps = jnp.asarray(power_spec)
     n_half1 = ps.shape[-1]
     if n_fft is None:
         n_fft = (n_half1 - 1) * 2
-    log_spec = 0.5 * jnp.log(jnp.maximum(ps, 1e-10))
+    log_spec = 0.5 * jnp.log(jnp.maximum(ps, floor))
     cep = jnp.fft.irfft(log_spec, n=n_fft, axis=-1)[..., : n_half1]
     doubler = jnp.ones(n_half1).at[1:-1].set(2.0)
     cep = cep * doubler
@@ -218,10 +222,42 @@ def mlsa_filter_jax(x: jnp.ndarray, coef: jnp.ndarray, alpha: float,
 # WORLD analyses on device (parity with dsp/cheaptrick.py and dsp/d4c.py)
 # ---------------------------------------------------------------------------
 
+def _dd_cumsum(x: jnp.ndarray):
+    """Compensated (two-float) cumulative sum along axis 1.
+
+    The smoothing integral differences two nearly-equal cumulative
+    totals; a plain f32 cumsum drops every increment smaller than
+    ~total*2^-24, which destroys the low-power bins of a
+    high-dynamic-range spectrum (a clean tone spans ~13 decades between
+    its peak and its noise floor).  Carrying the running total as an
+    unevaluated (hi, lo) float pair keeps ~2x the mantissa bits, so the
+    difference of totals still resolves the small bins.  Exact in the
+    f64 CPU test configuration (where it is simply more accurate than
+    the plain cumsum of the numpy spec by ~1 ulp).
+    """
+    def two(a, b):
+        ah, al = a
+        bh, bl = b
+        s = ah + bh
+        t = s - ah
+        e = (ah - (s - t)) + (bh - t)
+        lo = e + al + bl
+        hi = s + lo
+        return hi, lo - (hi - s)
+
+    return jax.lax.associative_scan(two, (x, jnp.zeros_like(x)), axis=1)
+
+
 def _linear_smoothing_jax(spec: jnp.ndarray, f0: jnp.ndarray, fs: int,
-                          fftl: int) -> jnp.ndarray:
+                          fftl: int, floor=1e-10) -> jnp.ndarray:
     """Fractional-width (2/3 f0) rectangular smoothing on the continuous
-    frequency axis; parity with dsp.cheaptrick._linear_smoothing."""
+    frequency axis; parity with dsp.cheaptrick._linear_smoothing.
+
+    ``floor`` (scalar or per-frame (T, 1)) is the positivity floor on
+    the smoothed value — callers that rescale their input must rescale
+    the floor with it to keep parity with the numpy spec's absolute
+    EPS.
+    """
     n_half1 = fftl // 2 + 1
     df = fs / fftl
     # full reflection about DC and about Nyquist (see the numpy impl)
@@ -229,30 +265,40 @@ def _linear_smoothing_jax(spec: jnp.ndarray, f0: jnp.ndarray, fs: int,
                           axis=1)
     n_ext = ext.shape[1]
     orig0 = n_half1 - 1
-    cum = jnp.concatenate(
-        [jnp.zeros((spec.shape[0], 1), spec.dtype),
-         jnp.cumsum(0.5 * (ext[:, 1:] + ext[:, :-1]) * df, axis=1)], axis=1)
+    ch, cl = _dd_cumsum(0.5 * (ext[:, 1:] + ext[:, :-1]) * df)
+    zero = jnp.zeros((spec.shape[0], 1), spec.dtype)
+    cum_hi = jnp.concatenate([zero, ch], axis=1)
+    cum_lo = jnp.concatenate([zero, cl], axis=1)
 
     def integral_at(freq_pos):
         pos = jnp.clip(freq_pos / df + orig0, 0, n_ext - 1.001)
         lo = jnp.floor(pos).astype(jnp.int32)
         frac = (pos - lo).astype(spec.dtype)
-        base = jnp.take_along_axis(cum, lo, axis=1)
         a = jnp.take_along_axis(ext, lo, axis=1)
         b = jnp.take_along_axis(ext, jnp.minimum(lo + 1, n_ext - 1), axis=1)
-        return base + df * frac * (a + 0.5 * frac * (b - a))
+        part = df * frac * (a + 0.5 * frac * (b - a))
+        return (jnp.take_along_axis(cum_hi, lo, axis=1),
+                jnp.take_along_axis(cum_lo, lo, axis=1) + part)
 
     width = (2.0 / 3.0) * f0[:, None]
     freqs = (jnp.arange(n_half1) * df)[None, :]
-    upper = integral_at(freqs + width / 2.0)
-    lower = integral_at(freqs - width / 2.0)
-    return jnp.maximum((upper - lower) / width, 1e-10)
+    up_hi, up_lo = integral_at(freqs + width / 2.0)
+    lo_hi, lo_lo = integral_at(freqs - width / 2.0)
+    # difference hi parts first (the cancellation), then add the small
+    # residuals — this is where the compensation pays off
+    integral = (up_hi - lo_hi) + (up_lo - lo_lo)
+    return jnp.maximum(integral / width, floor)
 
 
 @partial(jax.jit, static_argnames=("fs", "fftl"))
 def cheaptrick_jax(frames: jnp.ndarray, f0: jnp.ndarray, fs: int,
-                   fftl: int) -> jnp.ndarray:
+                   fftl: int, power_floor=None) -> jnp.ndarray:
     """CheapTrick spectral envelopes (T, fftl//2+1) on device.
+
+    ``power_floor`` (scalar or per-frame (T, 1), default the numpy
+    spec's EPS=1e-10) is the absolute power-domain floor — a caller
+    that rescales the frames by k must pass EPS*k^2 to keep the floor
+    at the same physical level.
 
     Step-for-step parity with dsp.cheaptrick.cheaptrick (the published
     algorithm): F0-adaptive 3-period Hanning window with DC-bias
@@ -260,8 +306,10 @@ def cheaptrick_jax(frames: jnp.ndarray, f0: jnp.ndarray, fs: int,
     the sinc + q1 = -0.15 liftering with recovery.
     """
     from pytorchwavenetvocoder_tpu.dsp.cheaptrick import (
-        DEFAULT_F0, Q1)
+        DEFAULT_F0, EPS, Q1)
 
+    if power_floor is None:
+        power_floor = EPS
     frames = jnp.asarray(frames)
     dt = frames.dtype
     f0 = jnp.asarray(f0, dt)
@@ -297,7 +345,8 @@ def cheaptrick_jax(frames: jnp.ndarray, f0: jnp.ndarray, fs: int,
     below = freqs[None, :] < f0[:, None]
     spec = spec + jnp.where(below, mirrored, 0.0)
 
-    spec = _linear_smoothing_jax(spec, f0, fs, fftl) + 1e-10
+    spec = _linear_smoothing_jax(spec, f0, fs, fftl,
+                                 floor=power_floor) + power_floor
 
     # liftering with recovery
     cep = jnp.fft.irfft(jnp.log(spec), n=fftl, axis=1)
@@ -345,11 +394,25 @@ def d4c_jax(frames: jnp.ndarray, f0: jnp.ndarray, fs: int,
     Xt = jnp.fft.rfft(xw * t_rel, axis=1)
     power = jnp.abs(X) ** 2
     num = (Xt * jnp.conj(X)).real
+    # per-frame power normalization: sgd = num/power is scale-invariant,
+    # and O(1) inputs keep the f32 smoothing well-conditioned at any
+    # waveform scale (int16-range or unit-range)
+    k = 1.0 / jnp.maximum(jnp.max(power, axis=1, keepdims=True), 1e-30)
+    power = power * k
+    num = num * k
 
     def smooth(signal, width_hz):
+        # the numpy spec's min-offset exists only to dodge its
+        # smoothing's positivity floor; running the jax smoothing
+        # floorless on the raw signal is analytically identical
+        # (smoothing preserves constants; the band never reaches the
+        # clip edges, and numpy's floor never bites behind its offset)
+        # and numerically FAR better in f32: re-adding a large offset
+        # cancels away the small null-bin values, while the raw
+        # oscillating integrand keeps the cumulative totals small
         pseudo_f0 = width_hz * 1.5
-        off = jnp.min(signal) - 1.0
-        return _linear_smoothing_jax(signal - off, pseudo_f0, fs, fftl) + off
+        return _linear_smoothing_jax(signal, pseudo_f0, fs, fftl,
+                                     floor=-jnp.inf)
 
     num_s = smooth(num, f0v / 2.0)
     pow_s = smooth(power, f0v / 2.0)
@@ -377,10 +440,15 @@ def d4c_jax(frames: jnp.ndarray, f0: jnp.ndarray, fs: int,
         seg = seg * nuttall[None, :]
         P = jnp.abs(jnp.fft.rfft(seg, n=n_seg_fft, axis=1)) ** 2
         P = P.at[:, 1:-1].multiply(2.0)
-        P_sorted = jnp.sort(P, axis=1)[:, ::-1]
-        total = jnp.sum(P_sorted, axis=1) + EPS
-        static_part = jnp.sum(P_sorted[:, :n_static], axis=1)
-        ratio = jnp.maximum(1.0 - static_part / total,
+        # ascending sort + direct tail sum: algebraically identical to
+        # the numpy spec's 1 - static/total (tail + EPS == total + EPS
+        # - static), but free of the catastrophic cancellation that a
+        # small f32 aperiodic ratio suffers in the subtraction
+        P_asc = jnp.sort(P, axis=1)
+        n_keep = P.shape[1] - n_static
+        tail = jnp.sum(P_asc[:, :n_keep], axis=1)
+        total = jnp.sum(P_asc, axis=1) + EPS
+        ratio = jnp.maximum((tail + EPS) / total,
                             10.0 ** (FLOOR_DB / 10.0))
         cols.append(10.0 * jnp.log10(ratio))
     out = jnp.stack(cols, axis=1)
@@ -392,10 +460,28 @@ def d4c_jax(frames: jnp.ndarray, f0: jnp.ndarray, fs: int,
 def _world_frames_jax(frames: jnp.ndarray, cont_f0: jnp.ndarray,
                       f0_raw: jnp.ndarray, fs: int, fftl: int,
                       mcep_dim: int, mcep_alpha: float):
-    """Device part of the WORLD analysis: (mcep, codeap) from frames."""
-    env = cheaptrick_jax(frames, cont_f0, fs, fftl)
-    mcep = sp2mc_jax(jnp.maximum(env, 1e-10), mcep_dim, mcep_alpha)
-    codeap = d4c_jax(frames, f0_raw, fs, fftl)
+    """Device part of the WORLD analysis: (mcep, codeap) from frames.
+
+    Frames are normalized to unit peak per frame before the spectral
+    analyses so the f32 device arithmetic is well-conditioned at any
+    waveform scale (the host pipeline feeds int16-range floats).  The
+    envelope then scales by k^2, which shifts only the 0th mel-cepstral
+    coefficient by log k (freqt is linear and maps a c0 delta to c0),
+    so the exact compensation is mc0 -= log k; D4C is a power ratio and
+    needs none.
+    """
+    frames = jnp.asarray(frames)  # f64 under x64 (CPU tests), f32 on TPU
+    peak = jnp.maximum(jnp.max(jnp.abs(frames), axis=1, keepdims=True),
+                       jnp.asarray(1e-6, frames.dtype))
+    fn = frames / peak
+    # the numpy pipeline's absolute 1e-10 power floors, rescaled to the
+    # normalized frame scale so they bite at the same physical level
+    floor_n = 1e-10 / (peak * peak)
+    env = cheaptrick_jax(fn, cont_f0, fs, fftl, power_floor=floor_n)
+    mcep = sp2mc_jax(jnp.maximum(env, floor_n), mcep_dim, mcep_alpha,
+                     floor=floor_n)
+    mcep = mcep.at[..., 0].add(jnp.log(peak[:, 0]))
+    codeap = d4c_jax(fn, f0_raw, fs, fftl)
     return mcep, codeap
 
 
@@ -441,9 +527,13 @@ def world_analyze_jax_many(xs: list, fs: int, shiftms: float = 5.0,
     from pytorchwavenetvocoder_tpu.dsp.filters import low_pass_filter
     from pytorchwavenetvocoder_tpu.dsp.world import _centered_frames
 
+    import logging
+    import time as _time
+
     hop = int(fs * shiftms / 1000.0)
     frame_rate = int(1.0 / (shiftms * 0.001))
     per_utt = []
+    _t0 = _time.perf_counter()
     for x in xs:
         x = np.asarray(x, np.float64)
         n_frames = len(x) // hop + 1
@@ -468,14 +558,19 @@ def world_analyze_jax_many(xs: list, fs: int, shiftms: float = 5.0,
     cont = np.pad(cont, (0, pad), mode="edge")
     f0_raw = np.pad(f0_raw, (0, pad))  # padded rows unvoiced
 
+    logging.debug("world_many: host prep of %d utts (%d frames): %.2f s",
+                  len(xs), total, _time.perf_counter() - _t0)
     mceps, codeaps = [], []
     for s in range(0, total + pad, device_batch):
+        _t0 = _time.perf_counter()
         m, c = _world_frames_jax(frames[s:s + device_batch],
                                  cont[s:s + device_batch],
                                  f0_raw[s:s + device_batch],
                                  fs, fftl, mcep_dim, mcep_alpha)
         mceps.append(np.asarray(m))
         codeaps.append(np.asarray(c))
+        logging.debug("world_many: device slice %d: %.2f s",
+                      s // device_batch, _time.perf_counter() - _t0)
     mcep = np.concatenate(mceps)[:total]
     codeap = np.concatenate(codeaps)[:total]
 

@@ -108,10 +108,11 @@ def test_cheaptrick_jax_matches_numpy():
     # f64: bit-close
     out = np.asarray(cheaptrick_jax(frames, f0, fs, fftl))
     np.testing.assert_allclose(10 * np.log10(out), ref_db, atol=1e-7)
-    # f32 (the TPU dtype): within a tenth of a dB everywhere
+    # f32 (the TPU dtype): the compensated-cumsum smoothing keeps the
+    # envelope within a hundredth of a dB (measured 2e-4 on CPU f32)
     out32 = np.asarray(cheaptrick_jax(frames.astype(np.float32),
                                       f0.astype(np.float32), fs, fftl))
-    assert np.abs(10 * np.log10(out32.astype(np.float64)) - ref_db).max() < 0.2
+    assert np.abs(10 * np.log10(out32.astype(np.float64)) - ref_db).max() < 0.01
 
 
 def test_d4c_jax_matches_numpy():
@@ -127,7 +128,35 @@ def test_d4c_jax_matches_numpy():
     assert np.all(out[::7] == 0.0)
     out32 = np.asarray(d4c_jax(frames.astype(np.float32),
                                f0.astype(np.float32), fs, fftl))
-    assert np.abs(out32 - ref).max() < 0.5  # top-k power split in f32
+    # floorless smoothing + cancellation-free tail-sum ratio: ~2e-5
+    assert np.abs(out32 - ref).max() < 0.01
+
+
+def test_world_frames_jax_f32_at_int16_scale():
+    """Full device analysis path in f32 at the real pipeline's input
+    scale (int16-range floats): peak normalization + rescaled floors
+    must hold parity with the f64 host pipeline to ~1e-5 (regression
+    for the f32 conditioning fixes; measured 4e-6 mcep / 2e-5 codeap).
+    """
+    from pytorchwavenetvocoder_tpu.dsp.cheaptrick import cheaptrick
+    from pytorchwavenetvocoder_tpu.dsp.d4c import d4c
+    from pytorchwavenetvocoder_tpu.dsp.cepstrum import sp2mc
+    from pytorchwavenetvocoder_tpu.dsp.jax_dsp import _world_frames_jax
+
+    fs, fftl = 16000, 1024
+    frames, f0 = _world_test_frames(fs=fs, fftl=fftl)
+    f0u = f0.copy()
+    f0u[::7] = 0.0
+    fi16 = frames * 8000.0  # int16-range amplitudes
+    env = cheaptrick(fi16, f0, fs, fftl)
+    mcep_ref = np.stack([sp2mc(np.maximum(env[t], 1e-10), 24, 0.41)
+                         for t in range(env.shape[0])])
+    cod_ref = d4c(fi16, f0u, fs, fftl)
+    m32, c32 = _world_frames_jax(
+        fi16.astype(np.float32), f0.astype(np.float32),
+        f0u.astype(np.float32), fs, fftl, 24, 0.41)
+    assert np.abs(np.asarray(m32, np.float64) - mcep_ref).max() < 1e-3
+    assert np.abs(np.asarray(c32, np.float64) - cod_ref).max() < 1e-3
 
 
 def test_world_analyze_jax_many_matches_single():
