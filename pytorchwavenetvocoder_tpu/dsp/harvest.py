@@ -35,6 +35,8 @@ reliability thresholds).
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 
 _TARGET_FS = 8000.0       # analysis rate: candidates need <= 4 harmonics
@@ -67,6 +69,37 @@ def _nuttall(n: int) -> np.ndarray:
             - 0.012604 * np.cos(6 * np.pi * t))
 
 
+def _smooth_fft_size(need: int) -> int:
+    """Smallest 5-smooth (2^a 3^b 5^c) FFT size >= ``need``.
+
+    pocketfft runs mixed radix-2/3/5 natively, so these sizes cost
+    ~proportionally to their length — a 5-smooth pad wastes at most 20%
+    where the next power of two can waste 2x.  The ladder is also much
+    coarser than "any length", so the per-band transfer-function cache
+    below hits across utterances of different durations.
+    """
+    best = 1 << max(int(need - 1).bit_length(), 0)
+    f5 = 1
+    while f5 < 2 * need:
+        f35 = f5
+        while f35 < 2 * need:
+            s = f35
+            while s < need:
+                s *= 2
+            if s < best:
+                best = s
+            f35 *= 3
+        f5 *= 5
+    return best
+
+
+# (n_fft, fs, boundary bytes) -> (n_bands, n_fft//2+1) filter spectra.
+# The bank depends only on the speaker's f0 search range and the FFT
+# size ladder, so a worker process re-uses one entry for a whole corpus.
+_H_CACHE: OrderedDict = OrderedDict()
+_H_CACHE_MAX = 3
+
+
 def _band_pass_bank(x: np.ndarray, fs: float,
                     boundary_f0s: np.ndarray) -> list[np.ndarray]:
     """Filter the signal with each channel's Nuttall band-pass.
@@ -74,60 +107,81 @@ def _band_pass_bank(x: np.ndarray, fs: float,
     The channel filter is a Nuttall window of length 4 periods of the
     boundary frequency, modulated to that frequency (a band-pass whose
     bandwidth scales with its center), applied by FFT convolution with
-    group delay compensated.
+    group delay compensated.  The filter spectra are cached across
+    calls and the per-band inverse transforms run as one batched FFT.
     """
     n = len(x)
-    max_half = int(round(fs / boundary_f0s.min() * 2.0))
-    n_fft = 1
-    while n_fft < n + 4 * max_half + 2:
-        n_fft *= 2
-    X = np.fft.rfft(x, n=n_fft)
-    out = []
-    for bf in boundary_f0s:
-        half = int(round(fs / bf * 2.0))
-        m = np.arange(-half, half + 1)
-        w = _nuttall(2 * half + 1) * np.cos(2 * np.pi * bf * m / fs)
-        H = np.fft.rfft(w, n=n_fft)
-        y = np.fft.irfft(X * H, n=n_fft)
-        out.append(y[half:half + n])  # compensate the filter delay
+    halves = np.round(fs / boundary_f0s * 2.0).astype(int)
+    max_half = int(halves.max())
+    n_fft = _smooth_fft_size(n + 4 * max_half + 2)
+    key = (n_fft, float(fs), boundary_f0s.tobytes())
+    H = _H_CACHE.get(key)
+    if H is None:
+        # single precision: the filtered signals are consumed only
+        # through zero-crossing/peak event *times* (linearly
+        # interpolated), where f32 FFT noise (~1e-6 relative) is 5
+        # orders below the candidate-agreement thresholds — and the
+        # refinement stage re-estimates from the full-precision signal
+        H = np.empty((len(boundary_f0s), n_fft // 2 + 1), np.complex64)
+        for i, bf in enumerate(boundary_f0s):
+            half = int(halves[i])
+            m = np.arange(-half, half + 1)
+            w = _nuttall(2 * half + 1) * np.cos(2 * np.pi * bf * m / fs)
+            H[i] = np.fft.rfft(w, n=n_fft)
+        _H_CACHE[key] = H
+        if len(_H_CACHE) > _H_CACHE_MAX:
+            _H_CACHE.popitem(last=False)
+    else:
+        _H_CACHE.move_to_end(key)
+    X = np.fft.rfft(x, n=n_fft).astype(np.complex64)
+    Y = np.fft.irfft(X[None, :] * H, n=n_fft, axis=1)
+    # compensate each filter's group delay; hand the event stage f64
+    # rows (f32 values) so downstream numpy ops don't promote-convert
+    # on every call
+    out = np.empty((len(boundary_f0s), n), np.float64)
+    for i in range(len(boundary_f0s)):
+        out[i] = Y[i, halves[i]:halves[i] + n]
     return out
 
 
-def _events_intervals(sig: np.ndarray, fs: float):
-    """(locations_sec, interval_frequencies) of one event train, or None.
+def _batch_events(S: np.ndarray, fs: float) -> list:
+    """Per-row event trains of a (bands, n) signal matrix.
 
-    Events are negative-going zero crossings of ``sig`` with linearly
-    interpolated positions; frequency = 1/interval between successive
-    events, located at the interval midpoint.
+    Each row's events are its negative-going zero crossings with
+    linearly interpolated positions; frequency = 1/interval between
+    successive events, located at the interval midpoint.  Returns a
+    list of (locations_sec, interval_frequencies) or None per row.
+    The crossing detection and gathers run batched over all rows (one
+    pass instead of one per band); only the tiny per-event arrays are
+    handled row by row.
     """
-    s0, s1 = sig[:-1], sig[1:]
-    idx = np.where((s0 > 0) & (s1 <= 0))[0]
-    if len(idx) < 3:
-        return None
-    frac = s0[idx] / (s0[idx] - s1[idx])
-    times = (idx + frac) / fs
-    intervals = np.diff(times)
-    good = intervals > 0
-    if good.sum() < 2:
-        return None
-    freq = 1.0 / intervals[good]
-    locs = ((times[:-1] + times[1:]) / 2.0)[good]
-    return locs, freq
+    mask = (S[:, :-1] > 0) & (S[:, 1:] <= 0)
+    rows, cols = np.nonzero(mask)          # row-major sorted
+    s0 = S[rows, cols]
+    s1 = S[rows, cols + 1]
+    times = (cols + s0 / (s0 - s1)) / fs
+    bounds = np.searchsorted(rows, np.arange(S.shape[0] + 1))
+    out = []
+    for b in range(S.shape[0]):
+        t = times[bounds[b]:bounds[b + 1]]
+        if len(t) < 3:
+            out.append(None)
+            continue
+        intervals = np.diff(t)
+        good = intervals > 0
+        if good.sum() < 2:
+            out.append(None)
+            continue
+        out.append((((t[:-1] + t[1:]) / 2.0)[good], 1.0 / intervals[good]))
+    return out
 
 
-def _four_event_tracks(y: np.ndarray, fs: float, t_axis: np.ndarray):
-    """The four interval-frequency tracks interpolated onto ``t_axis``.
+def _tracks_from_trains(trains: list, t_axis: np.ndarray):
+    """Interpolate one band's four event trains onto ``t_axis``.
 
     Returns (4, T) frequencies and a (T,) validity mask (all four trains
     must cover the time), or None when any train is too sparse.
     """
-    dy = np.diff(y)
-    trains = [
-        _events_intervals(y, fs),        # negative-going zero crossings
-        _events_intervals(-y, fs),       # positive-going zero crossings
-        _events_intervals(dy, fs),       # peaks
-        _events_intervals(-dy, fs),      # dips
-    ]
     if any(tr is None for tr in trains):
         return None, None
     tracks = np.empty((4, len(t_axis)))
@@ -136,6 +190,15 @@ def _four_event_tracks(y: np.ndarray, fs: float, t_axis: np.ndarray):
         tracks[i] = np.interp(t_axis, locs, freq)
         valid &= (t_axis >= locs[0]) & (t_axis <= locs[-1])
     return tracks, valid
+
+
+def _four_event_tracks(y: np.ndarray, fs: float, t_axis: np.ndarray):
+    """The four interval-frequency tracks of one signal (negative-going
+    zero crossings, positive-going zero crossings, peaks, dips)."""
+    y = np.asarray(y)[None]
+    dy = np.diff(y, axis=1)
+    trains = [_batch_events(s, fs)[0] for s in (y, -y, dy, -dy)]
+    return _tracks_from_trains(trains, t_axis)
 
 
 def _raw_candidates(x8: np.ndarray, fs8: float, t_axis: np.ndarray,
@@ -251,43 +314,44 @@ def _refine_rows(x8: np.ndarray, fs8: float, f0s: np.ndarray,
     seg = xp[np.clip(pos + max_half, 0, len(xp) - 1)]
     seg = np.where((pos >= 0) & (pos < len(x8)), seg, 0.0)
 
-    # per-row Blackman over its own +-half support, and its derivative
-    hw = half[:, None].astype(np.float64)
+    # per-row Blackman over its own +-half support, and its derivative.
+    # half is an integer with a small value range (~1.5 periods at the
+    # analysis rate), so build each distinct window once and gather —
+    # the transcendentals drop from O(rows * W) to O(uniques * W)
+    uh, inv = np.unique(half, return_inverse=True)
+    hw = uh[:, None].astype(np.float64)
     phase = np.pi * m[None, :] / (hw + 1.0)
-    in_win = np.abs(m[None, :]) <= half[:, None]
+    in_win = np.abs(m[None, :]) <= uh[:, None]
     win = np.where(in_win, 0.42 + 0.5 * np.cos(phase)
-                   + 0.08 * np.cos(2 * phase), 0.0)
+                   + 0.08 * np.cos(2 * phase), 0.0)[inv]
     dwin = np.where(in_win,
                     -(np.pi / (hw + 1.0))
                     * (0.5 * np.sin(phase) + 0.16 * np.sin(2 * phase)),
-                    0.0)  # d win / d n
+                    0.0)[inv]  # d win / d n
 
     Xw = np.fft.rfft(seg * win, n=n_fft, axis=1)
     Xd = np.fft.rfft(seg * dwin, n=n_fft, axis=1)
-    power = np.abs(Xw) ** 2 + 1e-30
-    inst = (np.fft.rfftfreq(n_fft, 1.0 / fs8)[None, :]
-            - (fs8 / (2.0 * np.pi))
-            * (Xd * np.conj(Xw)).imag / power)
 
+    # the instantaneous frequency is only consumed at the <= 6 harmonic
+    # bins of each row — gather those first instead of evaluating the
+    # reassignment formula over the full spectrum
     df = fs8 / n_fft
+    ks = np.arange(1, 7)[None, :]
     n_harm = np.minimum(6, (fs8 / 2.0 / f0s).astype(int))
-    amp_sum = np.zeros(len(f0s))
-    est_sum = np.zeros(len(f0s))
-    ests, amps = [], []
-    for k in range(1, 7):
-        use = n_harm >= k
-        bins = np.clip(np.round(k * f0s / df).astype(int), 0,
-                       inst.shape[1] - 1)
-        amp = np.where(use, np.abs(Xw[np.arange(len(f0s)), bins]), 0.0)
-        est = inst[np.arange(len(f0s)), bins] / k
-        amp_sum += amp
-        est_sum += amp * est
-        ests.append(est)
-        amps.append(amp)
-    refined = est_sum / np.maximum(amp_sum, 1e-30)
-    dev = np.zeros(len(f0s))
-    for est, amp in zip(ests, amps):
-        dev += amp * np.abs(est - refined)
+    use = ks <= n_harm[:, None]                              # (rows, 6)
+    bins = np.clip(np.round(ks * f0s[:, None] / df).astype(int), 0,
+                   Xw.shape[1] - 1)
+    Xw_b = np.take_along_axis(Xw, bins, axis=1)
+    Xd_b = np.take_along_axis(Xd, bins, axis=1)
+    power = Xw_b.real ** 2 + Xw_b.imag ** 2 + 1e-30
+    inst = (bins * df
+            - (fs8 / (2.0 * np.pi))
+            * (Xd_b.imag * Xw_b.real - Xd_b.real * Xw_b.imag) / power)
+    est = inst / ks
+    amp = np.where(use, np.sqrt(power), 0.0)
+    amp_sum = amp.sum(axis=1)
+    refined = (amp * est).sum(axis=1) / np.maximum(amp_sum, 1e-30)
+    dev = (amp * np.abs(est - refined[:, None])).sum(axis=1)
     score = dev / (np.maximum(amp_sum, 1e-30) * np.maximum(refined, 1e-9))
     return refined, score
 
