@@ -76,7 +76,8 @@ def world_feature_extract(wav_list, args) -> None:
             feats = world_analyze_jax_many(
                 [x for _, _, x in group], args.fs, shiftms=args.shiftms,
                 minf0=args.minf0, maxf0=args.maxf0, fftl=args.fftl,
-                mcep_dim=args.mcep_dim, mcep_alpha=args.mcep_alpha)
+                mcep_dim=args.mcep_dim, mcep_alpha=args.mcep_alpha,
+                f0_device=getattr(args, "f0_device", "host"))
             for (wav_name, fs, x), f in zip(group, feats):
                 hdf5name = (args.hdf5dir + "/"
                             + os.path.basename(wav_name).replace(".wav", ".h5"))
@@ -199,6 +200,11 @@ def get_parser() -> argparse.ArgumentParser:
                         help="host: numpy/C++ DSP with --n_jobs process "
                         "fan-out; jax: spectral analyses batched through "
                         "XLA (TPU when available, single process)")
+    parser.add_argument("--f0_device", default="host",
+                        choices=["host", "jax"],
+                        help="jax: Harvest F0's heavy stages also run on "
+                        "device (world + --device jax only; f32 numerics, "
+                        "see dsp/harvest_jax.py)")
     parser.add_argument("--save_wav", default=True, type=strtobool)
     parser.add_argument("--n_jobs", default=10, type=int)
     parser.add_argument("--verbose", default=1, type=int)
@@ -211,6 +217,12 @@ def main(argv=None) -> None:
     echo_args(args)
     if args.device == "jax":
         enable_compilation_cache()
+    if args.f0_device == "jax" and (args.device != "jax"
+                                    or args.feature_type != "world"):
+        # refuse rather than silently fall back: the caller asked for a
+        # specific numeric path and would get another
+        raise SystemExit("--f0_device jax requires --device jax and "
+                         "--feature_type world")
 
     from pytorchwavenetvocoder_tpu.utils import find_files, read_txt
 

@@ -46,6 +46,7 @@ from pytorchwavenetvocoder_tpu.dsp.f0 import (  # noqa: F401
 import pytorchwavenetvocoder_tpu.dsp.cheaptrick  # noqa: F401
 import pytorchwavenetvocoder_tpu.dsp.d4c  # noqa: F401
 import pytorchwavenetvocoder_tpu.dsp.harvest  # noqa: F401
+import pytorchwavenetvocoder_tpu.dsp.harvest_jax  # noqa: F401
 from pytorchwavenetvocoder_tpu.dsp.d4c import n_codeap_bands  # noqa: F401
 from pytorchwavenetvocoder_tpu.dsp.world import world_analyze  # noqa: F401
 from pytorchwavenetvocoder_tpu.dsp.mlsa import (  # noqa: F401

@@ -511,7 +511,8 @@ def world_analyze_jax_many(xs: list, fs: int, shiftms: float = 5.0,
                            minf0: float = 40.0, maxf0: float = 400.0,
                            fftl: int = 1024, mcep_dim: int = 24,
                            mcep_alpha: float = 0.41,
-                           device_batch: int = 4096) -> list:
+                           device_batch: int = 4096,
+                           f0_device: str = "host") -> list:
     """WORLD analysis of MANY waveforms with cross-utterance batching.
 
     CheapTrick and D4C are strictly per-frame, so frames from different
@@ -519,8 +520,11 @@ def world_analyze_jax_many(xs: list, fs: int, shiftms: float = 5.0,
     concatenated and processed in fixed ``(device_batch, fftl)`` slices
     — exactly one compiled shape regardless of utterance lengths, with
     the device dispatch cost amortized over every utterance in the
-    group.  Harvest F0 runs per utterance on the host.  Returns one
-    feature matrix per input, identical to ``world_analyze_jax``.
+    group.  Harvest F0 runs per utterance on the host by default;
+    ``f0_device="jax"`` routes its heavy stages through the device too
+    (``dsp.harvest_jax`` — same algorithm in f32, so voicing flips are
+    confined to threshold-straddling frames).  Returns one feature
+    matrix per input, identical to ``world_analyze_jax``.
     """
     from pytorchwavenetvocoder_tpu.dsp.f0 import (
         convert_to_continuous_f0, extract_f0)
@@ -534,10 +538,24 @@ def world_analyze_jax_many(xs: list, fs: int, shiftms: float = 5.0,
     frame_rate = int(1.0 / (shiftms * 0.001))
     per_utt = []
     _t0 = _time.perf_counter()
-    for x in xs:
+    if f0_device == "jax":
+        from pytorchwavenetvocoder_tpu.dsp.harvest_jax import (
+            harvest_jax_many)
+
+        f0s_pre = harvest_jax_many(
+            [np.asarray(x, np.float64) for x in xs], fs,
+            f0_floor=minf0, f0_ceil=maxf0, shiftms=shiftms)
+    elif f0_device == "host":
+        f0s_pre = None
+    else:
+        raise ValueError(
+            f"f0_device must be 'host' or 'jax', got {f0_device!r}")
+    for i, x in enumerate(xs):
         x = np.asarray(x, np.float64)
         n_frames = len(x) // hop + 1
-        f0 = extract_f0(x, fs, minf0=minf0, maxf0=maxf0, shiftms=shiftms)
+        f0 = (f0s_pre[i] if f0s_pre is not None
+              else extract_f0(x, fs, minf0=minf0, maxf0=maxf0,
+                              shiftms=shiftms))
         f0 = f0[:n_frames]
         if len(f0) < n_frames:
             f0 = np.pad(f0, (0, n_frames - len(f0)))

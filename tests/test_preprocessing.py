@@ -156,3 +156,53 @@ def test_feature_extract_cli_device_jax(tmp_path, feature_type):
         # conftest enables x64 on CPU -> near-bit parity; the stored
         # features are float32, so compare at f32 resolution
         np.testing.assert_allclose(b, a, atol=5e-5, rtol=1e-4)
+
+
+def test_feature_extract_cli_f0_device_jax(tmp_path):
+    """--f0_device jax (device Harvest) tracks the host F0 leg.
+
+    The device Harvest is the same algorithm in f32, so voicing flips
+    are confined to threshold-straddling frames; on the dummy tones the
+    uv column must agree on essentially every frame and the continuous
+    F0 must match to well under the WaveNet conditioning resolution.
+    """
+    from pytorchwavenetvocoder_tpu.bin import feature_extract
+
+    fs = 16000
+    wavs = make_dummy_wavs(tmp_path, sec=1.1)
+    scp = tmp_path / "wav.scp"
+    scp.write_text("\n".join(wavs) + "\n")
+    common = [
+        "--waveforms", str(scp), "--fs", str(fs), "--shiftms", "5",
+        "--feature_type", "world", "--minf0", "70", "--maxf0", "300",
+        "--mcep_dim", "24", "--fftl", "1024",
+        "--save_wav", "false", "--verbose", "0"]
+    feature_extract.main(
+        common + ["--hdf5dir", str(tmp_path / "h_host"), "--n_jobs", "1"])
+    feature_extract.main(
+        common + ["--hdf5dir", str(tmp_path / "h_f0jax"), "--device", "jax",
+                  "--f0_device", "jax", "--n_jobs", "1"])
+
+    for i in range(2):
+        a = read_hdf5(str(tmp_path / "h_host" / f"utt{i}.h5"), "/world")
+        b = read_hdf5(str(tmp_path / "h_f0jax" / f"utt{i}.h5"), "/world")
+        assert a.shape == b.shape
+        uv_a, uv_b = a[:, 0], b[:, 0]
+        assert (uv_a == uv_b).mean() > 0.97, (uv_a == uv_b).mean()
+        both = (uv_a > 0) & (uv_b > 0)
+        rel = np.abs(b[both, 1] - a[both, 1]) / np.maximum(a[both, 1], 1e-6)
+        assert np.median(rel) < 1e-3, np.median(rel)
+
+
+def test_feature_extract_cli_f0_device_jax_requires_world_device_jax(
+        tmp_path):
+    from pytorchwavenetvocoder_tpu.bin import feature_extract
+
+    wavs = make_dummy_wavs(tmp_path)
+    scp = tmp_path / "wav.scp"
+    scp.write_text("\n".join(wavs) + "\n")
+    with pytest.raises(SystemExit):
+        feature_extract.main([
+            "--waveforms", str(scp), "--fs", "16000",
+            "--feature_type", "world", "--f0_device", "jax",
+            "--hdf5dir", str(tmp_path / "h"), "--verbose", "0"])
