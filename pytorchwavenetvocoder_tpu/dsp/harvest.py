@@ -279,17 +279,21 @@ def _refine_candidates(x8: np.ndarray, fs8: float, t_axis: np.ndarray,
     f0s_all = flat[live]
     centers_all = np.round(np.repeat(t_axis, K)[live] * fs8).astype(int)
 
-    # bucket rows by window-size octave so low-f0 candidates don't force
-    # every row onto the largest padded width (2-4x less work on mixed
-    # candidate pools)
+    # bucket rows by their per-row FFT size — a pure function of the
+    # candidate f0 (next power of two covering the +-1.5-period window)
+    # — so low-f0 candidates don't force every row onto the largest
+    # padded width, AND so the spectral grid each candidate is evaluated
+    # on is deterministic per row rather than depending on which other
+    # rows share its bucket (the device path, dsp/harvest_jax.py,
+    # reproduces the identical grid closed-form per row)
     half_all = np.round(1.5 * fs8 / f0s_all).astype(int)
     refined_all = np.zeros(len(f0s_all))
     score_all = np.full(len(f0s_all), np.inf)
-    buckets = np.ceil(np.log2(np.maximum(half_all, 1))).astype(int)
-    for bk in np.unique(buckets):
-        sel = buckets == bk
+    nffts = 2 ** np.ceil(np.log2(2 * half_all + 1)).astype(int)
+    for nf in np.unique(nffts):
+        sel = nffts == nf
         r, s = _refine_rows(x8, fs8, f0s_all[sel], centers_all[sel],
-                            half_all[sel])
+                            half_all[sel], int(nf))
         refined_all[sel] = r
         score_all[sel] = s
 
@@ -302,12 +306,8 @@ def _refine_candidates(x8: np.ndarray, fs8: float, t_axis: np.ndarray,
 
 
 def _refine_rows(x8: np.ndarray, fs8: float, f0s: np.ndarray,
-                 centers: np.ndarray, half: np.ndarray):
-    max_half = int(half.max())
-    W = 2 * max_half + 1
-    n_fft = 1
-    while n_fft < W:
-        n_fft *= 2
+                 centers: np.ndarray, half: np.ndarray, n_fft: int):
+    max_half = int(half.max())   # 2*max_half + 1 <= n_fft by bucketing
     m = np.arange(-max_half, max_half + 1)
     pos = centers[:, None] + m[None, :]
     xp = np.pad(x8, (max_half, max_half))

@@ -9,31 +9,40 @@ they batch across utterances on one compiled XLA program:
 - **candidate generation** — Nuttall band-pass bank via batched
   rfft/irfft; negative-going-crossing / peak / dip event trains are
   never compacted (ragged scatters serialize badly on TPU) — instead a
-  prefix-cummax / suffix-cummin over the masked event positions hands
-  every analysis frame its four neighboring events directly, and the
-  interval-frequency interpolation is evaluated closed-form from those
+  prefix-cummax / suffix-cummin over the masked event COLUMNS (exact
+  int32, with the sub-sample fraction gathered per column afterwards —
+  absolute f32 positions would lose ~0.03 samples of precision at the
+  largest buckets) hands every analysis frame its four neighboring
+  events directly, and the interval-frequency interpolation is
+  evaluated closed-form in frame-relative coordinates
   (``_event_tracks_row``); per-frame candidate pool via ``lax.top_k``;
-- **instantaneous-frequency refinement** — one fixed-width windowed
-  rfft batch over every (frame, candidate) row, evaluated only at the
-  <= 6 harmonic bins, chunked with ``lax.map`` to bound HBM.
+- **instantaneous-frequency refinement** — each (frame, candidate) row
+  evaluates the spectral-reassignment formula at its <= 6 harmonic bins
+  by DIRECT DTFT (the rfft phase reference cancels in the formula), on
+  the identical per-row spectral grid the host uses (n_fft = next
+  power of two covering the row's window); chunked with ``lax.map`` to
+  bound HBM.
 
 The cheap, inherently sequential tail (voiced-run contour fixing and
 zero-phase smoothing, O(T) host work) reuses the host implementation
 verbatim, so device and host paths share one definition of the
 selection semantics.
 
-Equivalence contract vs the host path: identical algorithm and
-constants; numerics differ only through f32 device arithmetic (the
-host runs f64) and through the bucket-padded FFT sizes.  Event *times*
-carry ~1e-3-sample f32 rounding, 4-5 orders below the candidate
-agreement threshold (0.35 relative) and the refinement re-estimates
-every surviving candidate from the raw signal, so disagreements are
-confined to frames sitting exactly on a voicing-decision threshold.
-``tests/test_harvest_jax.py`` pins the behavioral criteria (the same
-golden signals as the host suite) plus host-vs-device agreement.
+Equivalence contract vs the host path: identical algorithm, constants,
+and spectral grids; numerics differ only through f32 device arithmetic
+(the host runs f64) and through the bucket-padded filter-bank FFT
+sizes.  Event times are carried as (exact int32 column, f32 fraction)
+pairs so their precision is independent of the utterance length, and
+the refinement re-estimates every surviving candidate from the raw
+signal, so disagreements are confined to frames sitting exactly on a
+voicing-decision threshold.  ``tests/test_harvest_jax.py`` pins the
+behavioral criteria (the same golden signals as the host suite) plus
+host-vs-device agreement.
 """
 
 from __future__ import annotations
+
+from collections import OrderedDict
 
 import numpy as np
 
@@ -53,8 +62,13 @@ from pytorchwavenetvocoder_tpu.dsp.harvest import (
 _U_BATCH = 8
 # sample-length buckets at the 8 kHz analysis rate (1s .. 32s)
 _BUCKETS = (8192, 16384, 32768, 65536, 131072, 262144)
-# refinement rows per lax.map chunk (bounds the (rows, W) gather)
+# refinement rows per lax.map chunk (bounds the (rows, 6, W) DTFT
+# phase tables to ~100 MB)
 _REFINE_CHUNK = 4096
+# int32 sentinels for "no event" in the column scans (far outside any
+# bucket's column range, with headroom so +-1 shifts can't wrap)
+_NO_EVT_LO = -(1 << 30)
+_NO_EVT_HI = 1 << 30
 
 
 def _next_pow2(n: int) -> int:
@@ -65,11 +79,17 @@ def _next_pow2(n: int) -> int:
 # host-side constants per (bucket, f0 range): filter bank spectra
 # ---------------------------------------------------------------------------
 
-_BANK_CACHE: dict = {}
+# LRU-capped like the host's _H_CACHE: one 32-s-bucket bank is ~180 MB,
+# and a long-lived process varying (f0_floor, f0_ceil) per speaker must
+# not accumulate one forever
+_BANK_CACHE: OrderedDict = OrderedDict()
+_BANK_CACHE_MAX = 3
+_JIT_CACHE: OrderedDict = OrderedDict()
+_JIT_CACHE_MAX = 8
 
 
 def _bank_constants(n_b: int, fs8: float, f0_floor: float, f0_ceil: float):
-    """(H, halves, boundary, n_fft) for one bucket — cached.
+    """(H, halves, boundary, n_fft) for one bucket — LRU-cached.
 
     Same construction as the host ``_band_pass_bank`` (Nuttall window of
     4 boundary periods modulated to the boundary frequency), evaluated
@@ -78,6 +98,7 @@ def _bank_constants(n_b: int, fs8: float, f0_floor: float, f0_ceil: float):
     key = (n_b, float(fs8), float(f0_floor), float(f0_ceil))
     hit = _BANK_CACHE.get(key)
     if hit is not None:
+        _BANK_CACHE.move_to_end(key)
         return hit
     n_ch = int(np.ceil(
         np.log2(f0_ceil / f0_floor) * _CHANNELS_PER_OCTAVE)) + 1
@@ -92,6 +113,8 @@ def _bank_constants(n_b: int, fs8: float, f0_floor: float, f0_ceil: float):
         H[i] = np.fft.rfft(w, n=n_fft)
     out = (H, halves, boundary.astype(np.float32), n_fft)
     _BANK_CACHE[key] = out
+    if len(_BANK_CACHE) > _BANK_CACHE_MAX:
+        _BANK_CACHE.popitem(last=False)
     return out
 
 
@@ -101,7 +124,7 @@ def _bank_constants(n_b: int, fs8: float, f0_floor: float, f0_ceil: float):
 
 
 def _prefix_cummax(a):
-    """Inclusive prefix maximum along the last axis.
+    """Inclusive prefix maximum along the last axis (float or int).
 
     Backend-split on purpose: ``lax.cummax`` compiles pathologically
     slowly on XLA:TPU at this operand shape (>15 min for a vmapped
@@ -119,10 +142,12 @@ def _prefix_cummax(a):
 
     if jax.default_backend() != "tpu":
         return lax.cummax(a, axis=a.ndim - 1)
+    lowest = (jnp.iinfo(a.dtype).min if jnp.issubdtype(a.dtype, jnp.integer)
+              else -jnp.inf)
     n = a.shape[-1]
     shift = 1
     while shift < n:
-        pad = jnp.full(a.shape[:-1] + (shift,), -jnp.inf, a.dtype)
+        pad = jnp.full(a.shape[:-1] + (shift,), lowest, a.dtype)
         a = jnp.maximum(a, jnp.concatenate([pad, a[..., :-shift]], -1))
         shift *= 2
     return a
@@ -152,65 +177,83 @@ def _event_tracks_row(sig, col_cap, t_samples):
     path never sees).
 
     TPU-shaped: instead of compacting the ragged event list (scatters
-    serialize badly on TPU), a prefix cummax / suffix cummin of the
-    masked positions gives every frame its neighboring events in O(n)
-    scans + a handful of gathers.  Each crossing pair column holds at
-    most one event with position in (col, col+1], so consecutive event
-    positions are strictly increasing — the host's defensive
+    serialize badly on TPU), a prefix cummax / suffix cummin over the
+    masked event COLUMNS gives every frame its neighboring events in
+    O(n) scans + a handful of gathers.  Each crossing-pair column holds
+    at most one event with position in (col, col+1], so consecutive
+    event positions are strictly increasing — the host's defensive
     positive-interval filter is provably a no-op here, and the
     interpolation needs only the two adjacent intervals:
     ``e_m1 <= e0 <= t < e1 <= e2``.
+
+    Precision: the scans carry exact int32 columns; the sub-sample
+    fraction is gathered per column and every position enters the
+    arithmetic RELATIVE to the frame time t (an exact small integer in
+    f32), so interval/midpoint error stays at f32 rounding of the
+    interval itself (~1e-7 relative) regardless of how long the signal
+    is.  Absolute f32 positions would lose ~0.03 samples at the 2^18
+    buckets — the same order as the sub-sample interpolation itself.
     """
     import jax.numpy as jnp
 
     n = sig.shape[0]
     s0, s1 = sig[:-1], sig[1:]
-    cols = jnp.arange(n - 1)
+    cols = jnp.arange(n - 1, dtype=jnp.int32)
     mask = (s0 > 0) & (s1 <= 0) & (cols < col_cap)
-    denom = jnp.where(mask, s0 - s1, 1.0)
-    pos = cols + s0 / denom
-    inf = jnp.inf
-    P = jnp.where(mask, pos, -inf)
-    Q = jnp.where(mask, pos, inf)
-    cm = _prefix_cummax(P)                  # last event position <= col
-    rm = _suffix_cummin(Q)                  # first event position >= col
-    cm_prev = jnp.concatenate([jnp.array([-inf], P.dtype), cm[:-1]])
-    rm_next = jnp.concatenate([rm[1:], jnp.array([inf], Q.dtype)])
+    frac = jnp.where(mask, s0 / jnp.where(mask, s0 - s1, 1.0),
+                     0.0)                        # event pos = col + frac
+    lo = jnp.int32(_NO_EVT_LO)
+    hi = jnp.int32(_NO_EVT_HI)
+    cm = _prefix_cummax(jnp.where(mask, cols, lo))   # last event col <= col
+    rm = _suffix_cummin(jnp.where(mask, cols, hi))   # first event col >= col
+    cm_prev = jnp.concatenate([jnp.array([lo], jnp.int32), cm[:-1]])
+    rm_next = jnp.concatenate([rm[1:], jnp.array([hi], jnp.int32)])
 
     t = t_samples
+    inf = jnp.inf
+
+    def rel(c):
+        """Event position relative to t; +-inf for the sentinels."""
+        cc = jnp.clip(c, 0, n - 2)
+        r = (cc.astype(t.dtype) - t) + frac[cc]
+        return jnp.where(c <= lo // 2, -inf,
+                         jnp.where(c >= hi // 2, inf, r))
+
     ct = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, n - 2)
+    has_ct = cm[ct] == ct                       # event inside column ct?
+    r_ct = (ct.astype(t.dtype) - t) + frac[ct]
     # bounding events of the interval containing t (one event/column:
     # only column ct itself is ambiguous, later columns are all > t)
-    e0 = jnp.maximum(jnp.where(P[ct] <= t, P[ct], -inf), cm_prev[ct])
-    e1 = jnp.minimum(jnp.where(Q[ct] > t, Q[ct], inf), rm_next[ct])
+    c0 = jnp.where(has_ct & (r_ct <= 0), ct, cm_prev[ct])
+    c1 = jnp.where(has_ct & (r_ct > 0), ct, rm_next[ct])
     # the events one step further out
-    c0 = jnp.clip(jnp.ceil(e0).astype(jnp.int32) - 1, 0, n - 2)
-    c1 = jnp.clip(jnp.ceil(e1).astype(jnp.int32) - 1, 0, n - 2)
-    e_m1 = cm_prev[c0]
-    e2 = rm_next[c1]
+    c_m1 = cm_prev[jnp.clip(c0, 0, n - 2)]
+    c2 = rm_next[jnp.clip(c1, 0, n - 2)]
+    r0, r1 = rel(c0), rel(c1)
+    r_m1, r2 = rel(c_m1), rel(c2)
 
-    f_cur = 1.0 / (e1 - e0)
-    mid = 0.5 * (e0 + e1)
-    f_rgt = 1.0 / (e2 - e1)
-    mid_r = 0.5 * (e1 + e2)
-    f_lft = 1.0 / (e0 - e_m1)
-    mid_l = 0.5 * (e_m1 + e0)
-    wr = (t - mid) / (mid_r - mid)
-    wl = (t - mid_l) / (mid - mid_l)
-    val_r = jnp.where(jnp.isfinite(e2), f_cur + (f_rgt - f_cur) * wr,
+    f_cur = 1.0 / (r1 - r0)
+    mid = 0.5 * (r0 + r1)
+    f_rgt = 1.0 / (r2 - r1)
+    mid_r = 0.5 * (r1 + r2)
+    f_lft = 1.0 / (r0 - r_m1)
+    mid_l = 0.5 * (r_m1 + r0)
+    wr = (0.0 - mid) / (mid_r - mid)
+    wl = (0.0 - mid_l) / (mid - mid_l)
+    val_r = jnp.where(jnp.isfinite(r2), f_cur + (f_rgt - f_cur) * wr,
                       f_cur)
-    val_l = jnp.where(jnp.isfinite(e_m1), f_lft + (f_cur - f_lft) * wl,
+    val_l = jnp.where(jnp.isfinite(r_m1), f_lft + (f_cur - f_lft) * wl,
                       f_cur)
-    track = jnp.where(t >= mid, val_r, val_l)
+    track = jnp.where(0.0 >= mid, val_r, val_l)
 
     count = mask.sum()
-    e_first = rm[0]
-    e_last = cm[-1]
-    cf = jnp.clip(jnp.ceil(e_first).astype(jnp.int32) - 1, 0, n - 2)
-    cl = jnp.clip(jnp.ceil(e_last).astype(jnp.int32) - 1, 0, n - 2)
-    mid_first = 0.5 * (e_first + rm_next[cf])
-    mid_last = 0.5 * (cm_prev[cl] + e_last)
-    valid = (count >= 3) & (t >= mid_first) & (t <= mid_last)
+    c_first = rm[0]
+    c_last = cm[-1]
+    mid_first = 0.5 * (rel(c_first)
+                       + rel(rm_next[jnp.clip(c_first, 0, n - 2)]))
+    mid_last = 0.5 * (rel(cm_prev[jnp.clip(c_last, 0, n - 2)])
+                      + rel(c_last))
+    valid = (count >= 3) & (mid_first <= 0.0) & (mid_last >= 0.0)
     return jnp.where(valid, track, 0.0), valid
 
 
@@ -220,7 +263,10 @@ def _raw_candidates_device(x8, n_true, H, halves, boundary, t_samples,
 
     Returns (T, K) candidate f0 (Hz) and (T, K) relative deviation,
     sorted ascending by deviation, 3%-deduplicated — same contract as
-    the host function.
+    the host function.  K = min(_MAX_CANDIDATES, n_channels): a narrow
+    f0 search range can build a bank with fewer channels than the pool
+    width (the host handles that with a partially-filled pool;
+    ``lax.top_k`` needs k <= the channel count).
     """
     import jax
     import jax.numpy as jnp
@@ -259,7 +305,7 @@ def _raw_candidates_device(x8, n_true, H, halves, boundary, t_samples,
 
     # the host's replace-the-worst streaming pool keeps exactly the K
     # smallest deviations -> top_k of the negated deviations
-    K = _MAX_CANDIDATES
+    K = min(_MAX_CANDIDATES, C)
     neg, ch = lax.top_k(-relg, K)                              # (T, K)
     cand_dev = -neg
     cand_f0 = jnp.take_along_axis(mean.T, ch, axis=1)
@@ -288,16 +334,20 @@ def _refine_device(x8, n_true, cand_f0, t_samples, fs8, max_half):
     Every (frame, candidate) row gets a Blackman window of half-width
     1.5/f0 centered on its frame, the spectral-reassignment
     instantaneous frequency at its <= 6 harmonic bins, and the
-    amplitude-weighted refined f0 + reliability score.  Rows run in
-    fixed-size chunks (``lax.map``) so HBM stays bounded.
+    amplitude-weighted refined f0 + reliability score.  The harmonic
+    bins live on the SAME per-row spectral grid the host uses (n_fft =
+    next power of two covering the row's window, a pure function of
+    the candidate f0) and are evaluated by direct DTFT — the rfft
+    phase reference is a per-row constant factor that cancels in both
+    |X_w|^2 and Im{X_d conj(X_w)}, and 6 bins of a <= 451-tap window
+    cost far less than a padded FFT.  Rows run in fixed-size chunks
+    (``lax.map``) so HBM stays bounded.
     """
     import jax.numpy as jnp
     from jax import lax
 
     T, K = cand_f0.shape
-    nf = _next_pow2(2 * max_half + 1)
     m = jnp.arange(-max_half, max_half + 1)
-    df = fs8 / nf
     ks = jnp.arange(1, 7, dtype=jnp.float32)
 
     flat_f0 = cand_f0.reshape(-1)
@@ -325,19 +375,38 @@ def _refine_device(x8, n_true, cand_f0, t_samples, fs8, max_half):
                          -(jnp.pi / (hw + 1.0))
                          * (0.5 * jnp.sin(phase)
                             + 0.16 * jnp.sin(2 * phase)), 0.0)
-        Xw = jnp.fft.rfft(seg * win, n=nf, axis=1)
-        Xd = jnp.fft.rfft(seg * dwin, n=nf, axis=1)
+        yw = seg * win
+        yd = seg * dwin
 
+        # per-row spectral grid, identical to the host's: df = fs8/nf
+        # with nf = 2^ceil(log2(2*half+1)) (2*half+1 is odd, so log2 is
+        # never an exact integer and ceil is exact)
+        nf = jnp.exp2(jnp.ceil(jnp.log2(2.0 * half + 1.0)))
+        df = fs8 / nf
         n_harm = jnp.minimum(6.0, fs8 / 2.0 / jnp.maximum(f0safe, 1e-9))
         use = ks[None, :] <= n_harm[:, None]
-        bins = jnp.clip(jnp.round(ks[None, :] * f0[:, None] / df)
-                        .astype(jnp.int32), 0, Xw.shape[1] - 1)
-        Xw_b = jnp.take_along_axis(Xw, bins, axis=1)
-        Xd_b = jnp.take_along_axis(Xd, bins, axis=1)
-        power = Xw_b.real ** 2 + Xw_b.imag ** 2 + 1e-30
-        inst = (bins * df
+        bins = jnp.clip(jnp.round(ks[None, :] * f0[:, None]
+                                  / df[:, None]),
+                        0.0, nf[:, None] / 2.0)                # (rows, 6)
+        # direct DTFT at the harmonic bins.  theta = 2*pi*bins*m/nf with
+        # bins*m an exact f32 integer (< 2^24) and nf a power of two, so
+        # reducing mod 1 BEFORE scaling by 2*pi keeps the angles
+        # full-precision — naive 2*pi*f*m/fs8 loses 5 digits at
+        # theta ~ 700 rad
+        ratio = bins[:, :, None] * m[None, None, :].astype(jnp.float32) \
+            / nf[:, None, None]
+        theta = (2.0 * jnp.pi) * (ratio - jnp.floor(ratio))
+        cth = jnp.cos(theta)
+        sth = jnp.sin(theta)
+        Xw_re = jnp.einsum("rw,rkw->rk", yw, cth)
+        Xw_im = -jnp.einsum("rw,rkw->rk", yw, sth)
+        Xd_re = jnp.einsum("rw,rkw->rk", yd, cth)
+        Xd_im = -jnp.einsum("rw,rkw->rk", yd, sth)
+
+        power = Xw_re ** 2 + Xw_im ** 2 + 1e-30
+        inst = (bins * df[:, None]
                 - (fs8 / (2.0 * jnp.pi))
-                * (Xd_b.imag * Xw_b.real - Xd_b.real * Xw_b.imag) / power)
+                * (Xd_im * Xw_re - Xd_re * Xw_im) / power)
         est = inst / ks[None, :]
         amp = jnp.where(use, jnp.sqrt(power), 0.0)
         amp_sum = amp.sum(axis=1)
@@ -389,9 +458,6 @@ def _candidates_jit(fs8: float, n_b: int, f0_floor: float, f0_ceil: float,
     return run
 
 
-_JIT_CACHE: dict = {}
-
-
 def _get_program(fs8, n_b, f0_floor, f0_ceil):
     key = (float(fs8), n_b, float(f0_floor), float(f0_ceil))
     prog = _JIT_CACHE.get(key)
@@ -401,6 +467,13 @@ def _get_program(fs8, n_b, f0_floor, f0_ceil):
         prog = _candidates_jit(fs8, n_b, f0_floor, f0_ceil,
                                max_half, t_frames)
         _JIT_CACHE[key] = prog
+        if len(_JIT_CACHE) > _JIT_CACHE_MAX:
+            # dropping the reference releases the compiled executable
+            # and its embedded (~100 MB at the largest buckets) filter
+            # bank constants
+            _JIT_CACHE.popitem(last=False)
+    else:
+        _JIT_CACHE.move_to_end(key)
     return prog
 
 

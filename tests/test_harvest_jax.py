@@ -124,6 +124,48 @@ def test_many_matches_single_and_buckets_lengths():
         assert v.mean() > 0.8
 
 
+def test_narrow_f0_range_small_channel_bank():
+    """A narrow [minf0, maxf0] builds a bank with fewer channels than
+    the _MAX_CANDIDATES pool width; the candidate pool must clamp to
+    the channel count instead of crashing top_k (regression)."""
+    x, _ = _tone(210.0)
+    # log2(220/200)*24 + 1 -> 5 channels < 6-wide pool
+    fj = harvest_jax(x, FS, f0_floor=200.0, f0_ceil=220.0)
+    fh = H.harvest(x, FS, f0_floor=200.0, f0_ceil=220.0)
+    v = fj > 0
+    assert v.mean() > 0.9
+    err = np.abs(fj[v] - 210.0) / 210.0
+    assert np.median(err) < 1e-3, np.median(err)
+    assert ((fh > 0) == (fj > 0)).mean() > 0.97
+
+
+def test_long_utterance_tail_precision():
+    """Host agreement must hold at the END of a long utterance too.
+
+    Late-signal event positions reach ~2^17 samples at the 131072-sample
+    bucket; carrying them as absolute f32 values loses ~0.03 samples of
+    precision (the order of the sub-sample interpolation itself), which
+    is why the scans carry exact int32 columns + per-column fractions.
+    This pins that the last quarter of a 9 s utterance tracks the host
+    as tightly as the front."""
+    rng = np.random.default_rng(3)
+    t = np.arange(9 * FS) / FS
+    f0c = 220 * (1 + 0.04 * np.sin(2 * np.pi * 4 * t))
+    ph = 2 * np.pi * np.cumsum(f0c) / FS
+    x = (np.sin(ph) + 0.3 * np.sin(2 * ph)
+         + 0.03 * rng.standard_normal(len(t)))
+    fh = H.harvest(x, FS, 71, 400)
+    fj = harvest_jax(x, FS, 71, 400)
+    assert fh.shape == fj.shape
+    for sl in (slice(None), slice(3 * len(fh) // 4, None)):
+        vh, vj = fh[sl] > 0, fj[sl] > 0
+        assert (vh == vj).mean() > 0.98, (vh == vj).mean()
+        both = vh & vj
+        rel = np.abs(fj[sl][both] - fh[sl][both]) / fh[sl][both]
+        assert np.median(rel) < 1e-3, np.median(rel)
+        assert rel.max() < 0.02, rel.max()
+
+
 def test_short_utterance_falls_back_to_host():
     """Utterances where the host adjusts f0_floor from the signal length
     route to the host path bit-exactly."""
