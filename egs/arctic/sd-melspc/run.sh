@@ -43,6 +43,7 @@ mcep_alpha=0.41        # frequency-warping alpha for this fs
 use_noise_shaping=true # mel-cepstral noise weighting/restoration
 mag=0.5                # noise-shaping strength, 0 < mag <= 1
 n_jobs=10              # host worker processes for preprocessing
+feature_device=host    # host: numpy/C++ DSP per process; jax: spectral analyses on TPU
 
 # --- network & training settings ---------------------------------------
 n_devices=1               # TPU chips in the data-parallel mesh
@@ -129,6 +130,7 @@ if wants 1; then
         --fftl "${fftl}"
         --fmin "${fmin}"
         --fmax "${fmax}"
+        --device "${feature_device}"
         --n_jobs "${n_jobs}"
     )
     for set in ${train} ${eval}; do
@@ -155,6 +157,7 @@ if wants 1; then
                     --highpass_cutoff "${highpass_cutoff}" \
                     --save_wav false \
                     --fftl "${fftl}" \
+                    --device "${feature_device}" \
                     --n_jobs "${n_jobs}"
         fi
 

@@ -42,6 +42,8 @@ mcep_alpha=0.41        # frequency-warping alpha for this fs
 use_noise_shaping=true # mel-cepstral noise weighting/restoration
 mag=0.5                # noise-shaping strength, 0 < mag <= 1
 n_jobs=10              # host worker processes for preprocessing
+feature_device=host    # host: numpy/C++ DSP per process; jax: spectral analyses on TPU
+f0_device=host         # jax: Harvest F0 on TPU too (needs feature_device=jax)
 
 # --- network & training settings ---------------------------------------
 n_devices=1             # TPU chips in the data-parallel mesh
@@ -120,6 +122,8 @@ if wants 1; then
         --mcep_alpha "${mcep_alpha}"
         --highpass_cutoff "${highpass_cutoff}"
         --fftl "${fftl}"
+        --device "${feature_device}"
+        --f0_device "${f0_device}"
         --n_jobs "${n_jobs}"
     )
     for set in ${train} ${eval}; do

@@ -141,7 +141,12 @@ def gen_run_sh(name, r):
         ("use_noise_shaping=true", "mel-cepstral noise weighting/restoration"),
         ("mag=0.5", "noise-shaping strength, 0 < mag <= 1"),
         ("n_jobs=10", "host worker processes for preprocessing"),
+        ("feature_device=host",
+         "host: numpy/C++ DSP per process; jax: spectral analyses on TPU"),
     ]
+    if ft == "world":
+        feat.append(("f0_device=host",
+                     "jax: Harvest F0 on TPU too (needs feature_device=jax)"))
     lines.append("\n# --- analysis settings "
                  + "-" * 49 + "\n" + fmt_settings(feat))
 
@@ -238,6 +243,8 @@ if wants 0; then
         --mcep_alpha "${mcep_alpha}"
         --highpass_cutoff "${highpass_cutoff}"
         --fftl "${fftl}"
+        --device "${feature_device}"
+        --f0_device "${f0_device}"
         --n_jobs "${n_jobs}\""""
     else:
         f0_resolve = ""
@@ -249,6 +256,7 @@ if wants 0; then
         --fftl "${fftl}"
         --fmin "${fmin}"
         --fmax "${fmax}"
+        --device "${feature_device}"
         --n_jobs "${n_jobs}\""""
 
     multi_spk = ("spks" in r or "train_spks" in r) and ft == "world"
@@ -271,6 +279,7 @@ if wants 0; then
                     --highpass_cutoff "${highpass_cutoff}" \\
                     --save_wav false \\
                     --fftl "${fftl}" \\
+                    --device "${feature_device}" \\
                     --n_jobs "${n_jobs}"
         fi
 """

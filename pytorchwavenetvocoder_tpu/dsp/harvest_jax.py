@@ -398,10 +398,17 @@ def _refine_device(x8, n_true, cand_f0, t_samples, fs8, max_half):
         theta = (2.0 * jnp.pi) * (ratio - jnp.floor(ratio))
         cth = jnp.cos(theta)
         sth = jnp.sin(theta)
-        Xw_re = jnp.einsum("rw,rkw->rk", yw, cth)
-        Xw_im = -jnp.einsum("rw,rkw->rk", yw, sth)
-        Xd_re = jnp.einsum("rw,rkw->rk", yd, cth)
-        Xd_im = -jnp.einsum("rw,rkw->rk", yd, sth)
+        # HIGHEST: the TPU default lowers f32 contractions to bf16
+        # passes — fine for the WaveNet, not for a frequency estimator
+        # whose contract is f32-rounding-level host agreement (the
+        # refinement is a trivial share of the stage's FLOPs)
+        import jax as _jax
+
+        hp = _jax.lax.Precision.HIGHEST
+        Xw_re = jnp.einsum("rw,rkw->rk", yw, cth, precision=hp)
+        Xw_im = -jnp.einsum("rw,rkw->rk", yw, sth, precision=hp)
+        Xd_re = jnp.einsum("rw,rkw->rk", yd, cth, precision=hp)
+        Xd_im = -jnp.einsum("rw,rkw->rk", yd, sth, precision=hp)
 
         power = Xw_re ** 2 + Xw_im ** 2 + 1e-30
         inst = (bins * df[:, None]

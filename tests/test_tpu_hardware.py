@@ -299,3 +299,36 @@ def test_int8_decode_tracks_bf16_at_flagship_scale():
     diff = np.abs(np.stack(ref).astype(int) - np.stack(q).astype(int))
     assert np.median(diff) <= 2, np.median(diff)
     assert (diff <= 8).mean() > 0.8, (diff.mean(), (diff <= 8).mean())
+
+
+def test_device_harvest_tracks_host_on_hardware():
+    """Device Harvest (dsp/harvest_jax.py) vs the f64 host path on
+    silicon.  The CPU suite runs the same comparison through the XLA
+    CPU backend; this covers what that cannot — the TPU's own FFT
+    lowering for the filter bank, the Hillis-Steele cummax path (the
+    CPU backend takes lax.cummax instead), and the MXU einsums pinned
+    to Precision.HIGHEST in the refinement.  Margins measured on the
+    CPU backend in pure f32 are ~1e-8 median relative; the thresholds
+    here leave two orders of slack for the TPU FFT."""
+    from pytorchwavenetvocoder_tpu.dsp import harvest as H
+    from pytorchwavenetvocoder_tpu.dsp.harvest_jax import harvest_jax_many
+
+    fs = 16000
+    rng = np.random.RandomState(0)
+    xs = []
+    for sec, f0, nz in [(2.0, 120.0, 0.05), (1.3, 190.0, 0.1),
+                        (0.9, 250.0, 0.02)]:
+        t = np.arange(int(sec * fs)) / fs
+        f0c = f0 * (1 + 0.05 * np.sin(2 * np.pi * 3 * t))
+        ph = 2 * np.pi * np.cumsum(f0c) / fs
+        xs.append(np.sin(ph) + 0.3 * np.sin(2 * ph)
+                  + nz * rng.standard_normal(len(t)))
+    fjs = harvest_jax_many(xs, fs, 71, 400)
+    for x, fj in zip(xs, fjs):
+        fh = H.harvest(x, fs, 71, 400)
+        vh, vj = fh > 0, fj > 0
+        assert (vh == vj).mean() > 0.98, (vh == vj).mean()
+        both = vh & vj
+        rel = np.abs(fj[both] - fh[both]) / fh[both]
+        assert np.median(rel) < 1e-4, np.median(rel)
+        assert rel.max() < 0.01, rel.max()
