@@ -94,14 +94,17 @@ def _smooth_fft_size(need: int) -> int:
 
 
 # (n_fft, fs, boundary bytes) -> (n_bands, n_fft//2+1) filter spectra.
-# The bank depends only on the speaker's f0 search range and the FFT
-# size ladder, so a worker process re-uses one entry for a whole corpus.
+# Reuse is granular: the 5-smooth FFT ladder steps every ~2-4%, so the
+# cache only hits when utterance durations cluster within one step (or
+# repeat, as in re-analysis passes) — a mixed-duration corpus rebuilds
+# the bank per distinct size, which costs about as much as the batched
+# irfft it feeds.  The small LRU bounds resident memory, not rebuilds.
 _H_CACHE: OrderedDict = OrderedDict()
 _H_CACHE_MAX = 3
 
 
 def _band_pass_bank(x: np.ndarray, fs: float,
-                    boundary_f0s: np.ndarray) -> list[np.ndarray]:
+                    boundary_f0s: np.ndarray) -> np.ndarray:
     """Filter the signal with each channel's Nuttall band-pass.
 
     The channel filter is a Nuttall window of length 4 periods of the
@@ -192,13 +195,17 @@ def _tracks_from_trains(trains: list, t_axis: np.ndarray):
     return tracks, valid
 
 
-def _four_event_tracks(y: np.ndarray, fs: float, t_axis: np.ndarray):
-    """The four interval-frequency tracks of one signal (negative-going
-    zero crossings, positive-going zero crossings, peaks, dips)."""
-    y = np.asarray(y)[None]
-    dy = np.diff(y, axis=1)
-    trains = [_batch_events(s, fs)[0] for s in (y, -y, dy, -dy)]
-    return _tracks_from_trains(trains, t_axis)
+def _four_event_tracks_all(filtered: np.ndarray, fs: float):
+    """Per-band four event trains of the whole (bands, n) filter bank.
+
+    One batched `_batch_events` pass per event type (negative-going zero
+    crossings, positive-going zero crossings, peaks, dips) instead of
+    one per (band, type).  Returns trains[b] = the band's 4 trains.
+    """
+    dy = np.diff(filtered, axis=1)
+    per_type = [_batch_events(s, fs)
+                for s in (filtered, -filtered, dy, -dy)]
+    return list(zip(*per_type))
 
 
 def _raw_candidates(x8: np.ndarray, fs8: float, t_axis: np.ndarray,
@@ -220,8 +227,9 @@ def _raw_candidates(x8: np.ndarray, fs8: float, t_axis: np.ndarray,
     cand_f0 = np.zeros((T, _MAX_CANDIDATES))
     cand_dev = np.full((T, _MAX_CANDIDATES), np.inf)
     worst = cand_dev[:, -1].copy()
-    for bf, y in zip(boundary, filtered):
-        tracks, valid = _four_event_tracks(y, fs8, t_axis)
+    all_trains = _four_event_tracks_all(filtered, fs8)
+    for bf, trains in zip(boundary, all_trains):
+        tracks, valid = _tracks_from_trains(list(trains), t_axis)
         if tracks is None:
             continue
         mean = tracks.mean(axis=0)

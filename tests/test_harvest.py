@@ -109,8 +109,9 @@ def test_four_event_trains_agree_on_periodic_signal():
     peaks, dips) of a band-passed periodic signal all estimate the
     fundamental."""
     x, _ = _tone(120.0, harmonics=1)
-    tracks, valid = H._four_event_tracks(x, float(FS),
-                                         np.arange(0.2, 1.8, 0.001))
+    trains = H._four_event_tracks_all(np.asarray(x)[None], float(FS))[0]
+    tracks, valid = H._tracks_from_trains(list(trains),
+                                          np.arange(0.2, 1.8, 0.001))
     assert tracks is not None and valid.all()
     np.testing.assert_allclose(tracks, 120.0, rtol=0.02)
 

@@ -159,6 +159,38 @@ def test_world_frames_jax_f32_at_int16_scale():
     assert np.abs(np.asarray(c32, np.float64) - cod_ref).max() < 1e-3
 
 
+def test_world_jax_pure_f32_regime():
+    """The f32 assertions above, with x64 globally DISABLED.
+
+    The suite's conftest enables x64, under which int-arange * float
+    intermediates inside the jax kernels promote to f64 — so f32
+    *inputs* alone don't pin the pure-f32 regime the TPU actually runs.
+    This repeats the envelope/aperiodicity bounds with the promotion
+    semantics the device sees (measured 1.7e-4 dB / 1.6e-5 here).
+    """
+    import jax
+
+    from pytorchwavenetvocoder_tpu.dsp.cheaptrick import cheaptrick
+    from pytorchwavenetvocoder_tpu.dsp.d4c import d4c
+    from pytorchwavenetvocoder_tpu.dsp.jax_dsp import cheaptrick_jax, d4c_jax
+
+    fs, fftl = 16000, 1024
+    frames, f0 = _world_test_frames(fs=fs, fftl=fftl)
+    f0u = f0.copy()
+    f0u[::7] = 0.0
+    ref_db = 10 * np.log10(cheaptrick(frames, f0, fs, fftl))
+    cod_ref = d4c(frames, f0u, fs, fftl)
+    with jax.enable_x64(False):
+        env32 = np.asarray(cheaptrick_jax(frames.astype(np.float32),
+                                          f0.astype(np.float32), fs, fftl))
+        cod32 = np.asarray(d4c_jax(frames.astype(np.float32),
+                                   f0u.astype(np.float32), fs, fftl))
+    assert np.abs(10 * np.log10(env32.astype(np.float64))
+                  - ref_db).max() < 0.01
+    assert np.abs(cod32 - cod_ref).max() < 0.01
+    assert np.all(cod32[::7] == 0.0)
+
+
 def test_world_analyze_jax_many_matches_single():
     """Cross-utterance frame batching == per-utterance analysis.
 
