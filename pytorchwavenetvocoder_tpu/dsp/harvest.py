@@ -203,8 +203,13 @@ def _four_event_tracks_all(filtered: np.ndarray, fs: float):
     one per (band, type).  Returns trains[b] = the band's 4 trains.
     """
     dy = np.diff(filtered, axis=1)
-    per_type = [_batch_events(s, fs)
-                for s in (filtered, -filtered, dy, -dy)]
+    # one standalone call per operand: each negated bank copy is freed
+    # as soon as its call returns (a (filtered, -filtered, dy, -dy)
+    # tuple would hold four bank-sized arrays alive at once)
+    per_type = [_batch_events(filtered, fs),
+                _batch_events(-filtered, fs),
+                _batch_events(dy, fs),
+                _batch_events(-dy, fs)]
     return list(zip(*per_type))
 
 
