@@ -82,9 +82,9 @@ def test_voiced_unvoiced_segmentation():
 def test_matches_host_on_modulated_harmonics():
     """Voicing decisions and voiced-frame values track the host path.
 
-    The agreement bound is behavioral, not bitwise: f32 event times and
-    the padded-FFT filter bank perturb candidate scores by ~1e-4
-    relative, which can flip only frames already sitting on a
+    The agreement bound is behavioral, not bitwise: f32 arithmetic and
+    the padded-FFT filter bank perturb candidate scores at f32-rounding
+    level, which can flip only frames already sitting on a
     voicing-decision threshold.
     """
     rng = np.random.default_rng(0)
@@ -98,11 +98,14 @@ def test_matches_host_on_modulated_harmonics():
     fj = harvest_jax(x, fs, 71, 400)
     assert fh.shape == fj.shape
     vh, vj = fh > 0, fj > 0
-    assert (vh == vj).mean() > 0.98, (vh == vj).mean()
+    assert (vh == vj).mean() > 0.995, (vh == vj).mean()
     both = vh & vj
     rel = np.abs(fj[both] - fh[both]) / fh[both]
-    assert np.median(rel) < 1e-3, np.median(rel)
-    assert rel.max() < 0.02, rel.max()
+    # measured ~1e-8 median / ~5e-8 max on the CPU backend (f32 device
+    # arrays; x64 on or off) — these bounds keep 50-2000x slack while
+    # still catching a lost grid match or event-precision regression
+    assert np.median(rel) < 5e-7, np.median(rel)
+    assert rel.max() < 1e-4, rel.max()
 
 
 def test_many_matches_single_and_buckets_lengths():
@@ -159,11 +162,11 @@ def test_long_utterance_tail_precision():
     assert fh.shape == fj.shape
     for sl in (slice(None), slice(3 * len(fh) // 4, None)):
         vh, vj = fh[sl] > 0, fj[sl] > 0
-        assert (vh == vj).mean() > 0.98, (vh == vj).mean()
+        assert (vh == vj).mean() > 0.995, (vh == vj).mean()
         both = vh & vj
         rel = np.abs(fj[sl][both] - fh[sl][both]) / fh[sl][both]
-        assert np.median(rel) < 1e-3, np.median(rel)
-        assert rel.max() < 0.02, rel.max()
+        assert np.median(rel) < 5e-7, np.median(rel)
+        assert rel.max() < 1e-4, rel.max()
 
 
 def test_short_utterance_falls_back_to_host():
