@@ -1,7 +1,9 @@
-"""Reference (PyTorch) checkpoint -> framework parameter conversion.
+"""Checkpoint conversion between the reference (PyTorch) and this framework.
 
 Lets users of kan-bayashi/PytorchWaveNetVocoder bring their trained
-models over: maps the reference ``WaveNet`` state_dict layout
+models over — and take models trained here back to the reference
+(``torch_state_dict_from_params``) for validation or serving
+continuity: maps the reference ``WaveNet`` state_dict layout
 (`wavenet_vocoder/nets/wavenet.py:157-210` — per-layer ``dil_sigmoid``/
 ``dil_tanh`` causal convs, ``aux_1x1_*``, ``skip_1x1``/``res_1x1``,
 ``conv_post_*``, ``upsampling.conv``) onto this framework's fused,
@@ -105,6 +107,88 @@ def params_from_torch_state_dict(state_dict: dict,
             "b": jnp.asarray(sd["upsampling.conv.bias"].reshape(()), jnp.float32),
         }
     return params
+
+
+def torch_state_dict_from_params(params: Params,
+                                 config: WaveNetConfig) -> dict:
+    """Inverse of ``params_from_torch_state_dict``: this framework's
+    pytree -> the reference WaveNet state_dict layout, as numpy arrays
+    (the caller tensorizes; torch is not imported here).
+
+    Exact inverse of the forward mapping — round-tripping either way is
+    bit-identical — so models trained here can be loaded by the
+    reference implementation (`wavenet_vocoder/nets/wavenet.py:157-210`)
+    for validation or serving continuity.
+    """
+    p = {k: {kk: np.asarray(vv, np.float32) for kk, vv in v.items()}
+         for k, v in params.items()}
+    c = config
+    L, k = c.n_layers, c.kernel_size
+    R = c.n_resch
+
+    def t_conv(w):                         # (kk, in, out) -> (out, in, kk)
+        return np.ascontiguousarray(np.transpose(w, (2, 1, 0)))
+
+    def t_1x1(w):                          # (in, out) -> (out, in, 1)
+        return np.ascontiguousarray(np.transpose(w)[:, :, None])
+
+    sd = {
+        "causal.conv.weight": t_conv(p["causal"]["w"]),
+        "causal.conv.bias": p["causal"]["b"],
+        "conv_post_1.weight": t_1x1(p["post1"]["w"]),
+        "conv_post_1.bias": p["post1"]["b"],
+        "conv_post_2.weight": t_1x1(p["post2"]["w"]),
+        "conv_post_2.bias": p["post2"]["b"],
+    }
+    for l in range(L):
+        dw, db = p["dil"]["w"][l], p["dil"]["b"][l]
+        aw, ab = p["aux"]["w"][l], p["aux"]["b"][l]
+        sd[f"dil_sigmoid.{l}.conv.weight"] = t_conv(dw[:, :, :R])
+        sd[f"dil_sigmoid.{l}.conv.bias"] = db[:R]
+        sd[f"dil_tanh.{l}.conv.weight"] = t_conv(dw[:, :, R:])
+        sd[f"dil_tanh.{l}.conv.bias"] = db[R:]
+        sd[f"aux_1x1_sigmoid.{l}.weight"] = t_1x1(aw[:, :R])
+        sd[f"aux_1x1_sigmoid.{l}.bias"] = ab[:R]
+        sd[f"aux_1x1_tanh.{l}.weight"] = t_1x1(aw[:, R:])
+        sd[f"aux_1x1_tanh.{l}.bias"] = ab[R:]
+        sd[f"skip_1x1.{l}.weight"] = t_1x1(p["skip"]["w"][l])
+        sd[f"skip_1x1.{l}.bias"] = p["skip"]["b"][l]
+        sd[f"res_1x1.{l}.weight"] = t_1x1(p["res"]["w"][l])
+        sd[f"res_1x1.{l}.bias"] = p["res"]["b"][l]
+    if c.upsampling_factor > 0:
+        sd["upsampling.conv.weight"] = (
+            p["upsampling"]["w"].reshape(1, 1, 1, -1))
+        sd["upsampling.conv.bias"] = p["upsampling"]["b"].reshape(1)
+    return sd
+
+
+def torch_conf_dict_from_config(config: WaveNetConfig,
+                                feature_type: str = "world",
+                                upsampling_factor_no_layer: int = 80) -> dict:
+    """The model.conf fields the reference's decode path reads
+    (`wavenet_vocoder/bin/decode.py:266-309`), from a WaveNetConfig.
+
+    This framework encodes "no upsampling layer" as
+    ``upsampling_factor == 0`` while the reference keeps the true frame
+    factor alongside ``use_upsampling_layer=False`` (its decode still
+    needs it for sample counts); ``upsampling_factor_no_layer`` supplies
+    that value for such models.
+    """
+    c = config
+    return {
+        "n_quantize": c.n_quantize,
+        "n_aux": c.n_aux,
+        "n_resch": c.n_resch,
+        "n_skipch": c.n_skipch,
+        "dilation_depth": c.dilation_depth,
+        "dilation_repeat": c.dilation_repeat,
+        "kernel_size": c.kernel_size,
+        "upsampling_factor": (c.upsampling_factor if c.upsampling_factor > 0
+                              else upsampling_factor_no_layer),
+        "use_upsampling_layer": c.upsampling_factor > 0,
+        "use_speaker_code": False,
+        "feature_type": feature_type,
+    }
 
 
 def config_from_torch_conf(conf) -> WaveNetConfig:

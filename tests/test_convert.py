@@ -159,3 +159,119 @@ def test_convert_checkpoint_cli_and_decode(tmp_path):
                  "--batch_size", "1", "--fs", "16000",
                  "--mode", "argmax", "--verbose", "0"])
     assert os.listdir(wavout) == ["u0.wav"]
+
+
+def test_torch_state_dict_round_trip_bit_exact():
+    """params -> reference state_dict -> params is bit-identical, with
+    and without the learned upsampler."""
+    import jax
+
+    from pytorchwavenetvocoder_tpu.convert import (
+        torch_state_dict_from_params,
+    )
+    from pytorchwavenetvocoder_tpu.models.wavenet import init_wavenet_params
+
+    for uf in (0, 10):
+        cfg = WaveNetConfig(n_aux=8, n_resch=16, n_skipch=16,
+                            dilation_depth=3, dilation_repeat=2,
+                            kernel_size=3, upsampling_factor=uf)
+        params = init_wavenet_params(jax.random.PRNGKey(0), cfg)
+        sd = torch_state_dict_from_params(params, cfg)
+        back = params_from_torch_state_dict(sd, cfg)
+        flat_a, tree_a = jax.tree.flatten(params)
+        flat_b, tree_b = jax.tree.flatten(back)
+        assert tree_a == tree_b
+        for a, b in zip(flat_a, flat_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_exported_state_dict_loads_into_reference():
+    """A model 'trained' here loads into the actual reference WaveNet
+    (strict key match) and reproduces our forward logits."""
+    torch, TorchWaveNet = _load_reference_wavenet()
+    import jax
+
+    from pytorchwavenetvocoder_tpu.convert import (
+        torch_state_dict_from_params,
+    )
+    from pytorchwavenetvocoder_tpu.models.wavenet import init_wavenet_params
+
+    cfg = WaveNetConfig(n_aux=8, n_resch=16, n_skipch=16, dilation_depth=3,
+                        dilation_repeat=2, kernel_size=2,
+                        upsampling_factor=10, compute_dtype="float64")
+    params = init_wavenet_params(jax.random.PRNGKey(2), cfg)
+    sd = {k: torch.from_numpy(v.copy())
+          for k, v in torch_state_dict_from_params(params, cfg).items()}
+
+    net = TorchWaveNet(n_quantize=cfg.n_quantize, n_aux=cfg.n_aux,
+                       n_resch=cfg.n_resch, n_skipch=cfg.n_skipch,
+                       dilation_depth=cfg.dilation_depth,
+                       dilation_repeat=cfg.dilation_repeat,
+                       kernel_size=cfg.kernel_size,
+                       upsampling_factor=cfg.upsampling_factor)
+    assert set(sd) == set(net.state_dict())
+    net.load_state_dict(sd)  # strict by default
+    net.eval()
+
+    rng = np.random.RandomState(0)
+    B, T = 2, 80
+    x = rng.randint(0, 256, (B, T)).astype(np.int64)
+    h = rng.randn(B, cfg.n_aux, T // 10).astype(np.float32)
+    with torch.no_grad():
+        ref = net(torch.from_numpy(x), torch.from_numpy(h)).numpy()
+    ours = np.asarray(wavenet_forward(params, cfg, x.astype(np.int32),
+                                      np.transpose(h, (0, 2, 1))))
+    np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_convert_checkpoint_cli_to_torch_round_trip(tmp_path):
+    """Our bundle -> --direction to_torch -> reference-format files ->
+    --direction to_jax recovers the identical parameters."""
+    torch = pytest.importorskip("torch")
+    import pickle
+
+    import jax
+
+    from pytorchwavenetvocoder_tpu.bin import convert_checkpoint
+    from pytorchwavenetvocoder_tpu.models.wavenet import init_wavenet_params
+    from pytorchwavenetvocoder_tpu.parallel.checkpoint import save_model_conf
+
+    cfg = WaveNetConfig(n_aux=8, n_resch=16, n_skipch=16, dilation_depth=3,
+                        dilation_repeat=1, kernel_size=2,
+                        upsampling_factor=10)
+    params = init_wavenet_params(jax.random.PRNGKey(3), cfg)
+    ours = tmp_path / "ours"
+    ours.mkdir()
+    with open(ours / "checkpoint-77.pkl", "wb") as f:
+        pickle.dump({"model": jax.tree.map(np.asarray, params),
+                     "optimizer": None, "iterations": 77}, f)
+    save_model_conf(str(ours), dict(cfg.to_dict(), feature_type="world",
+                                    use_upsampling_layer=True))
+
+    exported = str(tmp_path / "torch")
+    convert_checkpoint.main(["--checkpoint", str(ours / "checkpoint-77.pkl"),
+                             "--config", str(ours / "model.conf"),
+                             "--outdir", exported,
+                             "--direction", "to_torch", "--verbose", "0"])
+    ckpt = torch.load(os.path.join(exported, "checkpoint-77.pkl"),
+                      map_location="cpu", weights_only=False)
+    assert ckpt["iterations"] == 77
+    conf = torch.load(os.path.join(exported, "model.conf"),
+                      map_location="cpu", weights_only=False)
+    assert conf.n_resch == 16 and conf.use_upsampling_layer
+    assert conf.upsampling_factor == 10
+
+    back = str(tmp_path / "back")
+    convert_checkpoint.main(["--checkpoint",
+                             os.path.join(exported, "checkpoint-77.pkl"),
+                             "--config", os.path.join(exported, "model.conf"),
+                             "--outdir", back, "--verbose", "0"])
+    with open(os.path.join(back, "checkpoint-77.pkl"), "rb") as f:
+        payload = pickle.load(f)
+    assert payload["iterations"] == 77
+    flat_a, tree_a = jax.tree.flatten(params)
+    flat_b, tree_b = jax.tree.flatten(payload["model"])
+    assert tree_a == tree_b
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a, np.float32),
+                                      np.asarray(b, np.float32))
