@@ -95,6 +95,7 @@ def main(argv=None) -> None:
     logging.info("loaded %d-iter checkpoint", payload.get("iterations", -1))
 
     scaler = StandardScaler()
+    from pytorchwavenetvocoder_tpu.ops.scaler import feature_transform
     from pytorchwavenetvocoder_tpu.utils import read_hdf5
 
     feature_type = conf.get("feature_type", "world")
@@ -134,7 +135,7 @@ def main(argv=None) -> None:
         batch_size=args.batch_size,
         feature_type=feature_type,
         wav_transform=lambda x: encode_mu_law(x, config.n_quantize),
-        feat_transform=scaler.transform,
+        feat_transform=feature_transform(scaler),
         upsampling_factor=upsampling_factor,
         use_upsampling_layer=use_upsampling_layer,
         use_speaker_code=conf.get("use_speaker_code", False),

@@ -27,6 +27,45 @@ from pytorchwavenetvocoder_tpu.bin.common import (
 )
 
 
+def _length_bucket(n: int) -> int:
+    """Smallest s >= n from the {2^k, 3*2^(k-1)} ladder (<= 33% pad)."""
+    s = 1
+    while True:
+        if s >= n:
+            return s
+        if 3 * s // 2 >= n:
+            return 3 * s // 2
+        s *= 2
+
+
+def _pad_utterance_batch(batch_x: np.ndarray, batch_h: np.ndarray,
+                         batch_t: np.ndarray, upsampling_factor: int):
+    """Pad an utterance-mode batch up to a length bucket.
+
+    Utterance mode feeds a different sequence length to the jitted step
+    per utterance, which would retrace/recompile XLA for every distinct
+    length in the corpus (seconds to minutes per compile on TPU).
+    Bucketing bounds that to ~2 log2(max_len) shapes at <= 33% padded
+    compute.  Pad targets are -1 — excluded from masked_ce_loss — pad
+    aux frames are zero, pad inputs are class 0 (arbitrary: every
+    padded position's loss is masked).
+    """
+    if upsampling_factor > 0:
+        frames = _length_bucket(batch_h.shape[1])
+        pad_f = frames - batch_h.shape[1]
+        pad_t = frames * upsampling_factor - batch_x.shape[1]
+    else:
+        T = _length_bucket(batch_x.shape[1])
+        pad_t = T - batch_x.shape[1]
+        pad_f = T - batch_h.shape[1]
+    if pad_t == 0 and pad_f == 0:
+        return batch_x, batch_h, batch_t
+    batch_x = np.pad(batch_x, ((0, 0), (0, pad_t)))
+    batch_t = np.pad(batch_t, ((0, 0), (0, pad_t)), constant_values=-1)
+    batch_h = np.pad(batch_h, ((0, 0), (0, pad_f), (0, 0)))
+    return batch_x, batch_h, batch_t
+
+
 def get_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="Train a WaveNet vocoder on TPU")
     # path setting (reference train.py:339-348)
@@ -142,9 +181,27 @@ def main(argv=None) -> None:
     save_model_conf(args.expdir, dict(config.to_dict(), **vars(args)))
 
     # transforms
+    from pytorchwavenetvocoder_tpu.ops.scaler import feature_transform
+
     scaler = StandardScaler()
     scaler.mean_ = read_hdf5(args.stats, "/" + args.feature_type + "/mean")
     scaler.scale_ = read_hdf5(args.stats, "/" + args.feature_type + "/scale")
+
+    # fail fast with a readable message instead of a shape error deep in
+    # the model: the aux width the generator will emit is the feature dim
+    # (== stats dim) plus one speaker-code column when enabled (the
+    # reference has the same implicit contract and the same failure mode,
+    # `wavenet_vocoder/bin/train.py:125-128` vs `:438`)
+    expected_aux = int(np.asarray(scaler.mean_).reshape(-1).shape[0]) \
+        + int(bool(args.use_speaker_code))
+    if args.n_aux != expected_aux:
+        logging.error(
+            "--n_aux %d does not match the data: stats cover %d feature "
+            "dims%s => n_aux must be %d.", args.n_aux, expected_aux -
+            int(bool(args.use_speaker_code)),
+            " + 1 speaker-code column" if args.use_speaker_code else "",
+            expected_aux)
+        sys.exit(1)
 
     # data lists
     if os.path.isdir(args.waveforms):
@@ -160,23 +217,9 @@ def main(argv=None) -> None:
     assert len(wav_list) == len(feat_list)
     logging.info("number of training data = %d.", len(wav_list))
 
-    generator = train_generator(
-        wav_list, feat_list,
-        receptive_field=config.receptive_field,
-        batch_length=args.batch_length if args.batch_length > 0 else None,
-        batch_size=args.batch_size,
-        feature_type=args.feature_type,
-        wav_transform=lambda x: encode_mu_law(x, args.n_quantize),
-        feat_transform=scaler.transform,
-        shuffle=True,
-        upsampling_factor=args.upsampling_factor,
-        use_upsampling_layer=args.use_upsampling_layer,
-        use_speaker_code=args.use_speaker_code,
-        seed=args.seed,
-    )
-
     # multi-host: wire the processes together when a coordinator is
-    # configured (env/SLURM); no-op in the common single-host case
+    # configured (env/SLURM); no-op in the common single-host case.
+    # Runs BEFORE the generator so the corpus can be strided per process.
     from pytorchwavenetvocoder_tpu.parallel import (
         initialize_distributed,
         make_global_mesh,
@@ -185,14 +228,18 @@ def main(argv=None) -> None:
 
     multihost = initialize_distributed()
 
-    # mesh / step
+    # mesh / step.  Utterance-batch mode (--batch_length 0) always
+    # yields B=1 (reference semantics), so that is the batch size the
+    # mesh must divide — not the ignored --batch_size.
+    effective_bs = args.batch_size if args.batch_length > 0 else 1
     mesh = None
     if multihost and jax.process_count() > 1:
         mesh = make_global_mesh()
         n_devices = jax.device_count()
-        if args.batch_size % n_devices != 0:
-            logging.error("batch size %d must divide the %d-device global "
-                          "mesh.", args.batch_size, n_devices)
+        if effective_bs % n_devices != 0:
+            logging.error("batch size %d (1 in utterance mode) must divide "
+                          "the %d-device global mesh.",
+                          effective_bs, n_devices)
             sys.exit(1)
         logging.info("multi-host mesh: %d processes, %d devices.",
                      jax.process_count(), n_devices)
@@ -204,13 +251,43 @@ def main(argv=None) -> None:
                             n_devices, avail)
             n_devices = avail
         if n_devices > 1:
-            if args.batch_size % n_devices != 0:
+            if effective_bs % n_devices != 0:
                 logging.warning("batch size %d not divisible by %d devices; "
                                 "falling back to single device.",
-                                args.batch_size, n_devices)
+                                effective_bs, n_devices)
                 n_devices = 1
             else:
                 mesh = make_mesh(n_devices)
+
+    # multi-host: stride the corpus so each process loads and transforms
+    # ONLY its own rows of the global batch (producing the full batch
+    # everywhere and slicing wastes (n-1)/n of the host I/O the prefetch
+    # thread exists to hide); gradients pmean across hosts regardless
+    gen_wav, gen_feat = wav_list, feat_list
+    gen_batch_size = args.batch_size
+    if mesh is not None and multihost and jax.process_count() > 1:
+        pid, np_ = jax.process_index(), jax.process_count()
+        gen_wav, gen_feat = wav_list[pid::np_], feat_list[pid::np_]
+        if not gen_wav:
+            logging.error("fewer training files (%d) than processes (%d).",
+                          len(wav_list), np_)
+            sys.exit(1)
+        gen_batch_size = max(args.batch_size // np_, 1)
+
+    generator = train_generator(
+        gen_wav, gen_feat,
+        receptive_field=config.receptive_field,
+        batch_length=args.batch_length if args.batch_length > 0 else None,
+        batch_size=gen_batch_size,
+        feature_type=args.feature_type,
+        wav_transform=lambda x: encode_mu_law(x, args.n_quantize),
+        feat_transform=feature_transform(scaler),
+        shuffle=True,
+        upsampling_factor=args.upsampling_factor,
+        use_upsampling_layer=args.use_upsampling_layer,
+        use_speaker_code=args.use_speaker_code,
+        seed=args.seed,
+    )
     if args.remat == "auto":
         if args.batch_length <= 0:
             # utterance-batching mode: lengths are unbounded (a 10 s
@@ -252,21 +329,27 @@ def main(argv=None) -> None:
     loss_acc = jnp.zeros((), jnp.float32)
     interval_start = time.time()
     n_in_interval = 0
+    profiling = False
     for i in range(iterations, args.iters):
         if args.profile_dir and i == iterations + 10:
             jax.profiler.start_trace(args.profile_dir)
+            profiling = True
         if args.profile_dir and i == iterations + 20:
             jax.profiler.stop_trace()
+            profiling = False
             logging.info("profiler trace written to %s", args.profile_dir)
         (batch_x, batch_h), batch_t = next(generator)
+        if args.batch_length <= 0:
+            # utterance mode: pad to a length bucket so XLA compiles a
+            # handful of shapes instead of one per distinct utterance
+            # length (pad targets are -1, excluded by masked_ce_loss)
+            batch_x, batch_h, batch_t = _pad_utterance_batch(
+                batch_x, batch_h, batch_t, config.upsampling_factor)
         if mesh is not None and multihost and jax.process_count() > 1:
-            # every process runs the same seeded generator; each one
-            # contributes ITS rows of the global batch to the mesh
-            pid, np_ = jax.process_index(), jax.process_count()
-            rows = batch_x.shape[0] // np_
-            sl = slice(pid * rows, (pid + 1) * rows)
+            # each process's generator yields its own disjoint rows of
+            # the global batch (the corpus is strided above)
             batch_x, batch_h, batch_t = shard_global_batch(
-                mesh, (batch_x[sl], batch_h[sl], batch_t[sl]))
+                mesh, (batch_x, batch_h, batch_t))
         elif mesh is not None:
             batch_x, batch_h, batch_t = shard_batch(
                 mesh, (batch_x, batch_h, batch_t))
@@ -292,6 +375,12 @@ def main(argv=None) -> None:
         if (i + 1) % args.checkpoint_interval == 0:
             if jax.process_index() == 0:  # params replicated: one writer
                 save_checkpoint(args.expdir, state, iterations=i + 1)
+
+    if profiling:
+        # fewer than 10 iterations remained after the trace started:
+        # flush it so the trace is usable rather than silently lost
+        jax.profiler.stop_trace()
+        logging.info("profiler trace written to %s", args.profile_dir)
 
     if jax.process_index() == 0:
         save_checkpoint(args.expdir, state, final=True)

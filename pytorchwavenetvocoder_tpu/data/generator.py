@@ -154,6 +154,17 @@ def train_generator(wav_list: Sequence[str], feat_list: Sequence[str],
                             "(%d -> %d)", batch_length,
                             batch_length - batch_mod)
             batch_length -= batch_mod
+        if batch_length < upsampling_factor:
+            # shift = batch_length // upsampling_factor would be 0 (the
+            # window never advances -> the same batch forever) or
+            # negative (buffer corruption via negative slicing)
+            raise ValueError(
+                f"batch_length rounds down to {batch_length} after "
+                f"aligning receptive_field+batch_length to whole frames; "
+                f"it must be at least one frame "
+                f"({upsampling_factor} samples)")
+    if batch_length is not None and batch_length < 1:
+        raise ValueError(f"batch_length must be positive, got {batch_length}")
     if batch_length is None and batch_size > 1:
         logging.warning("in utterance batch mode, batchsize will be 1.")
 
@@ -188,6 +199,14 @@ def train_generator(wav_list: Sequence[str], feat_list: Sequence[str],
                     x_in, h_out, t = _emit(x, h, wav_transform,
                                            feat_transform,
                                            drop_last_sample=True)
+                if x_in.shape[0] <= receptive_field:
+                    # no position would survive the loss mask: the mean
+                    # over an empty set is NaN and one such batch
+                    # poisons every parameter through Adam
+                    logging.warning(
+                        "skipping %s: %d samples <= receptive field %d",
+                        wav_list[i], x_in.shape[0], receptive_field)
+                    continue
                 yield (x_in[None], h_out[None]), t[None]
                 continue
 

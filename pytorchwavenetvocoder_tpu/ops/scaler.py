@@ -82,3 +82,31 @@ class StandardScaler:
 
     def inverse_transform(self, x: np.ndarray) -> np.ndarray:
         return (np.asarray(x) * self.scale_ + self.mean_).astype(np.float32)
+
+
+def feature_transform(scaler: StandardScaler):
+    """A transform that standardizes only the scaler's own dimensions.
+
+    Speaker-code columns are appended to the aux matrix AFTER stats were
+    computed (data/generator.py ``_load_features``), so applying
+    ``scaler.transform`` to the concatenated matrix raises a broadcast
+    error (the reference had the same ordering bug,
+    `wavenet_vocoder/bin/train.py:466-470` vs `:126-128`).  Extra
+    trailing columns pass through unscaled (speaker codes are already
+    one-hot/ordinal).
+    """
+    n_dims = int(np.asarray(scaler.mean_).reshape(-1).shape[0])
+
+    def transform(h: np.ndarray) -> np.ndarray:
+        h = np.asarray(h)
+        if h.shape[-1] == n_dims:
+            return scaler.transform(h)
+        if h.shape[-1] < n_dims:
+            raise ValueError(
+                f"feature matrix has {h.shape[-1]} dims but the stats "
+                f"cover {n_dims}")
+        return np.concatenate(
+            [scaler.transform(h[..., :n_dims]),
+             np.asarray(h[..., n_dims:], np.float32)], axis=-1)
+
+    return transform

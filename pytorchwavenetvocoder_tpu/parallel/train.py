@@ -70,10 +70,15 @@ def masked_ce_loss(logits: jnp.ndarray, targets: jnp.ndarray,
 
     The reference slices ``[:, receptive_field:]`` before the loss
     (`train.py:534-536`); masking is the static-shape formulation.
+    Negative targets mark padding (the utterance-mode trainer pads
+    windows to length buckets so XLA compiles a handful of shapes
+    instead of one per utterance) and are excluded from the mean.
     """
-    ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
-    mask = (jnp.arange(targets.shape[1]) >= receptive_field).astype(ce.dtype)
-    return jnp.sum(ce * mask[None, :]) / (targets.shape[0] * mask.sum())
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits, jnp.maximum(targets, 0))
+    mask = ((jnp.arange(targets.shape[1])[None, :] >= receptive_field)
+            & (targets >= 0)).astype(ce.dtype)
+    return jnp.sum(ce * mask) / jnp.maximum(mask.sum(), 1.0)
 
 
 def make_train_step(config: WaveNetConfig, lr: float = 1e-4,

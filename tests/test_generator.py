@@ -219,3 +219,71 @@ def test_train_generator_applies_feat_transform(tmp_path):
     (_, bh_raw), _ = next(gen_raw)
     (_, bh_tf), _ = next(gen_tf)
     np.testing.assert_allclose(bh_tf, bh_raw + shift, rtol=1e-6)
+
+
+def test_train_generator_rejects_sub_frame_batch_length(tmp_path):
+    """batch_length that rounds below one frame would make the window
+    shift 0 (the same batch forever) or negative (buffer corruption) —
+    it must be a hard error, not a silent warning (review fix)."""
+    wav_list, feat_list = make_dataset(tmp_path, n=1)
+    for bl in (50, 10):
+        gen = train_generator(
+            wav_list, feat_list, receptive_field=1024, batch_length=bl,
+            batch_size=1, upsampling_factor=80, use_upsampling_layer=True,
+            shuffle=False, seed=0)
+        with pytest.raises(ValueError):
+            next(gen)
+
+
+def test_train_generator_utterance_mode_skips_short_utterances(tmp_path):
+    """An utterance shorter than the receptive field yields zero loss
+    positions (NaN mean); utterance mode must skip it (review fix)."""
+    wav_list, feat_list = make_dataset(tmp_path, n=3, min_sec=0.3,
+                                       max_sec=0.5)
+    rf = 6000  # ~0.375 s at 16 kHz: some utterances are shorter
+    gen = train_generator(
+        wav_list, feat_list, receptive_field=rf, batch_length=None,
+        batch_size=1, wav_transform=lambda x: encode_mu_law(x, 256),
+        upsampling_factor=80, use_upsampling_layer=True,
+        shuffle=False, seed=0)
+    for _ in range(6):  # spans >1 epoch of the 3-file corpus
+        (bx, _bh), _bt = next(gen)
+        assert bx.shape[1] > rf
+
+
+def test_feature_transform_passes_speaker_code_through(tmp_path):
+    """The stats cover only the feature dims; the speaker-code columns
+    appended after must pass through unscaled instead of crashing the
+    scaler broadcast (review fix; the reference had the same ordering
+    bug)."""
+    from pytorchwavenetvocoder_tpu.ops.scaler import (
+        StandardScaler,
+        feature_transform,
+    )
+
+    scaler = StandardScaler()
+    scaler.mean_ = np.full(28, 2.0)
+    scaler.scale_ = np.full(28, 4.0)
+    tf = feature_transform(scaler)
+
+    h = np.ones((5, 29), np.float32)
+    out = tf(h)
+    np.testing.assert_allclose(out[:, :28], (1.0 - 2.0) / 4.0)
+    np.testing.assert_allclose(out[:, 28], 1.0)  # untouched
+    # exact-width matrices keep the plain transform
+    np.testing.assert_allclose(tf(np.ones((5, 28)))[:, 0], -0.25)
+    with pytest.raises(ValueError):
+        tf(np.ones((5, 27)))
+
+    # end-to-end: the generator path that crashed before the fix
+    wav_list, feat_list = make_dataset(tmp_path, n=2)
+    for i, f in enumerate(feat_list):
+        write_hdf5(f, "/speaker_code", np.asarray([float(i)], np.float32))
+    gen = train_generator(
+        wav_list, feat_list, receptive_field=100, batch_length=500,
+        batch_size=1, wav_transform=lambda x: encode_mu_law(x, 256),
+        feat_transform=tf, upsampling_factor=80, use_upsampling_layer=True,
+        use_speaker_code=True, shuffle=False, seed=0)
+    (bx, bh), bt = next(gen)
+    assert bh.shape[2] == 29
+    assert np.all(np.abs(bh[0, :, 28]) <= 1.0)  # code col not standardized

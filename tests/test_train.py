@@ -280,3 +280,50 @@ def test_fused_forced_on_model_axis_mesh_raises():
     step = make_train_step(cfg, lr=1e-3, mesh=mesh, fused=True)
     with pytest.raises(ValueError, match="model axis"):
         step(state, bx, bh, bx)
+
+
+def test_masked_ce_ignores_pad_targets():
+    """Negative targets mark utterance-mode length-bucket padding and
+    are excluded from the mean (review fix: padding makes utterance mode
+    compile a handful of shapes instead of one per utterance)."""
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(2, 10, 4).astype(np.float32))
+    targets = rng.randint(0, 4, (2, 10)).astype(np.int32)
+    base = masked_ce_loss(logits, jnp.asarray(targets), 3)
+    # pad each row with 4 extra positions of target -1 / garbage logits
+    logits_p = jnp.concatenate(
+        [logits, jnp.asarray(rng.randn(2, 4, 4), jnp.float32)], axis=1)
+    targets_p = np.concatenate(
+        [targets, np.full((2, 4), -1, np.int32)], axis=1)
+    padded = masked_ce_loss(logits_p, jnp.asarray(targets_p), 3)
+    np.testing.assert_allclose(float(padded), float(base), rtol=1e-6)
+    # fully-masked batch: 0, not NaN
+    all_pad = masked_ce_loss(logits, jnp.full((2, 10), -1, jnp.int32), 3)
+    assert float(all_pad) == 0.0
+
+
+def test_utterance_bucket_padding():
+    from pytorchwavenetvocoder_tpu.bin.train import (
+        _length_bucket,
+        _pad_utterance_batch,
+    )
+
+    assert [_length_bucket(n) for n in (1, 2, 3, 5, 6, 7, 100, 96)] == \
+        [1, 2, 3, 6, 6, 8, 128, 96]
+    # with upsampler: frames bucket, x/t follow at frames*uf
+    bx = np.zeros((1, 50 * 8), np.int32)
+    bt = np.ones((1, 50 * 8), np.int32)
+    bh = np.zeros((1, 50, 3), np.float32)
+    px, ph, pt = _pad_utterance_batch(bx, bh, bt, 8)
+    assert ph.shape[1] == 64 and px.shape[1] == 64 * 8
+    assert (pt[0, 50 * 8:] == -1).all() and (pt[0, :50 * 8] == 1).all()
+    # without: sample-rate bucket
+    bx = np.zeros((1, 97), np.int32)
+    bh = np.zeros((1, 97, 3), np.float32)
+    px, ph, pt = _pad_utterance_batch(bx, bh, np.ones((1, 97), np.int32), 0)
+    assert px.shape[1] == ph.shape[1] == 128
+    # already on a bucket: unchanged objects
+    bx = np.zeros((1, 128), np.int32)
+    out = _pad_utterance_batch(bx, np.zeros((1, 128, 3), np.float32),
+                               np.zeros((1, 128), np.int32), 0)
+    assert out[0] is bx
