@@ -108,6 +108,11 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--n_devices", "--n_gpus", dest="n_devices",
                         default=1, type=int,
                         help="number of devices for data parallelism")
+    parser.add_argument("--model_parallel", default=1, type=int,
+                        help="devices per tensor-parallel group: layer "
+                             "weights' channel dims + Adam moments shard "
+                             "over the mesh 'model' axis (XLA path only; "
+                             "n_devices/model_parallel stay data-parallel)")
     parser.add_argument("--compute_dtype", default="bfloat16",
                         choices=["float32", "bfloat16"],
                         help="matmul dtype (accumulation stays f32)")
@@ -250,7 +255,27 @@ def main(argv=None) -> None:
             logging.warning("requested %d devices but only %d available.",
                             n_devices, avail)
             n_devices = avail
-        if n_devices > 1:
+        mp = max(args.model_parallel, 1)
+        if mp > 1:
+            # tensor parallelism was explicitly requested: misfits are
+            # errors, not silent fallbacks
+            if n_devices % mp != 0:
+                logging.error("--model_parallel %d must divide the %d "
+                              "devices.", mp, n_devices)
+                sys.exit(1)
+            if effective_bs % (n_devices // mp) != 0:
+                logging.error("batch size %d (1 in utterance mode) must "
+                              "divide the %d-device data axis "
+                              "(n_devices/model_parallel).",
+                              effective_bs, n_devices // mp)
+                sys.exit(1)
+            if args.fused == "true":
+                logging.error("--fused true is incompatible with "
+                              "--model_parallel > 1 (the fused Pallas "
+                              "kernels are single-chip programs).")
+                sys.exit(1)
+            mesh = make_mesh(n_devices, model_parallel=mp)
+        elif n_devices > 1:
             if effective_bs % n_devices != 0:
                 logging.warning("batch size %d not divisible by %d devices; "
                                 "falling back to single device.",
@@ -319,6 +344,11 @@ def main(argv=None) -> None:
         state = restore_train_state(resume, state)
         iterations = int(state.step)
         logging.info("restored from %d-iter checkpoint.", iterations)
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        from pytorchwavenetvocoder_tpu.parallel import shard_state
+
+        # distribute the layer weights + Adam moments over the model axis
+        state = shard_state(mesh, state)
 
     import jax.numpy as jnp
 

@@ -12,6 +12,8 @@ from pytorchwavenetvocoder_tpu.parallel.mesh import (  # noqa: F401
     make_mesh,
     replicated_sharding,
     shard_batch,
+    shard_state,
+    state_shardings,
 )
 from pytorchwavenetvocoder_tpu.parallel.train import (  # noqa: F401
     TrainState,

@@ -26,6 +26,7 @@ from pytorchwavenetvocoder_tpu.models.wavenet import (
 from pytorchwavenetvocoder_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
+    state_shardings,
 )
 
 @dataclasses.dataclass
@@ -91,7 +92,13 @@ def make_train_step(config: WaveNetConfig, lr: float = 1e-4,
 
     Returns ``step_fn(state, batch_x, batch_h, batch_t) -> (state, loss)``.
     With a mesh, batches are expected sharded over the ``data`` axis and
-    the state replicated; XLA emits the gradient psum over ICI.
+    the state replicated; XLA emits the gradient psum over ICI.  With a
+    mesh whose ``model`` axis > 1 (``make_mesh(model_parallel=k)``), the
+    layer weights' channel dims and their Adam moments are additionally
+    sharded over that axis (tensor parallelism — see
+    ``mesh._model_pspec`` for the row/column scheme); place the state
+    with ``shard_state(mesh, state)`` first.  TP applies to the XLA
+    path only (the fused Pallas kernels are single-chip programs).
     ``remat`` checkpoints each residual layer — required to fit HBM at
     per-device batches beyond ~1x20000 samples (see wavenet_forward).
     ``bf16_intermediates`` (default: on when compute_dtype is bfloat16)
@@ -158,16 +165,28 @@ def make_train_step(config: WaveNetConfig, lr: float = 1e-4,
                 state.params, batch_x, batch_h, batch_t)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params=params, opt_state=opt_state,
-                          step=state.step + 1), loss
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
+            # pin the updated state back onto the model-sharded layout
+            # (params + Adam moments stay distributed between steps)
+            new_state = jax.tree_util.tree_map(
+                jax.lax.with_sharding_constraint, new_state,
+                state_shardings(mesh, new_state))
+        return new_state, loss
 
     if mesh is not None:
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
+        # with a model axis, the state's in/out shardings depend on the
+        # pytree structure (unknown here): the caller places the state
+        # via mesh.shard_state and the constraint above pins the output
+        model_parallel = mesh.shape.get("model", 1) > 1
         return jax.jit(
             step_fn,
-            in_shardings=(repl, data, data, data),
-            out_shardings=(repl, repl),
+            in_shardings=(None if model_parallel else repl,
+                          data, data, data),
+            out_shardings=(None if model_parallel else repl, repl),
             donate_argnums=(0,),
         )
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

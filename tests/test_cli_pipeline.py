@@ -227,3 +227,28 @@ def test_train_rejects_mismatched_n_aux(dataset, tmp_path):
     with pytest.raises(SystemExit):
         # with a speaker code the data is 29-wide; default n_aux=28 is off
         train.main(args + ["--use_speaker_code", "true"])
+
+
+def test_train_model_parallel_cli(dataset, tmp_path):
+    """--model_parallel 2 on the 8-device virtual mesh: DP x TP training
+    end-to-end through the CLI, checkpoint written (gathered to host),
+    and misconfiguration (mp does not divide devices) fails fast."""
+    from pytorchwavenetvocoder_tpu.bin import calc_stats, train
+
+    stats = str(dataset / "stats.h5")
+    expdir = str(tmp_path / "exp_tp")
+    calc_stats.main(["--feats", str(dataset / "feats.scp"),
+                     "--stats", stats, "--verbose", "0"])
+    base = ["--waveforms", str(dataset / "wav.scp"),
+            "--feats", str(dataset / "feats.scp"),
+            "--stats", stats, "--expdir", expdir,
+            "--n_resch", "16", "--n_skipch", "16",
+            "--dilation_depth", "3", "--dilation_repeat", "1",
+            "--upsampling_factor", "80", "--batch_length", "800",
+            "--batch_size", "4", "--iters", "3",
+            "--compute_dtype", "float32", "--verbose", "0"]
+    train.main(base + ["--n_devices", "8", "--model_parallel", "2"])
+    assert os.path.exists(os.path.join(expdir, "checkpoint-final.pkl"))
+    with pytest.raises(SystemExit):
+        train.main(base + ["--expdir", str(tmp_path / "exp_bad"),
+                           "--n_devices", "8", "--model_parallel", "3"])
