@@ -48,6 +48,7 @@ feature_device=host              # host: numpy/C++ DSP per process; jax: spectra
 
 # --- network & training settings ---------------------------------------
 n_devices=1               # TPU chips in the data-parallel mesh
+model_parallel=1          # devices per tensor-parallel group (shards layer weights over the mesh model axis)
 n_quantize=256            # mu-law classes (waveform quantization levels)
 n_aux=80                  # conditioning feature channels
 n_resch=512               # residual stream width
@@ -249,6 +250,7 @@ if wants 4; then
     ${cuda_cmd} --gpu ${n_devices} "${expdir}/log/${train}.log" \
         train.py \
             --n_devices ${n_devices} \
+            --model_parallel ${model_parallel} \
             --waveforms ${waveforms} \
             --feats data/${train}/feats.scp \
             --stats data/${train}/stats.h5 \

@@ -154,6 +154,7 @@ def gen_run_sh(name, r):
     t = r.get("train", {})
     train = [
         ("n_devices=1", "TPU chips in the data-parallel mesh"),
+        ("model_parallel=1", "devices per tensor-parallel group (shards layer weights over the mesh model axis)"),
         ("n_quantize=256", "mu-law classes (waveform quantization levels)"),
         (f"n_aux={r['n_aux']}", "conditioning feature channels"),
         (f"n_resch={t.get('n_resch', 512)}", "residual stream width"),
@@ -424,6 +425,7 @@ if wants 4; then
     ${{cuda_cmd}} --gpu ${{n_devices}} "${{expdir}}/log/${{train}}.log" \\
         train.py \\
             --n_devices ${{n_devices}} \\
+            --model_parallel ${{model_parallel}} \\
             --waveforms ${{waveforms}} \\
             --feats data/${{train}}/feats.scp \\
             --stats data/${{train}}/stats.h5 \\

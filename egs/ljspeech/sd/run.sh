@@ -46,6 +46,7 @@ f0_device=host         # jax: Harvest F0 on TPU too (needs feature_device=jax)
 
 # --- network & training settings ---------------------------------------
 n_devices=1               # TPU chips in the data-parallel mesh
+model_parallel=1          # devices per tensor-parallel group (shards layer weights over the mesh model axis)
 n_quantize=256            # mu-law classes (waveform quantization levels)
 n_aux=39                  # conditioning feature channels
 n_resch=512               # residual stream width
@@ -213,6 +214,7 @@ if wants 4; then
     ${cuda_cmd} --gpu ${n_devices} "${expdir}/log/${train}.log" \
         train.py \
             --n_devices ${n_devices} \
+            --model_parallel ${model_parallel} \
             --waveforms ${waveforms} \
             --feats data/${train}/feats.scp \
             --stats data/${train}/stats.h5 \
