@@ -239,15 +239,22 @@ def main(argv=None) -> None:
     effective_bs = args.batch_size if args.batch_length > 0 else 1
     mesh = None
     if multihost and jax.process_count() > 1:
-        mesh = make_global_mesh()
-        n_devices = jax.device_count()
-        if effective_bs % n_devices != 0:
-            logging.error("batch size %d (1 in utterance mode) must divide "
-                          "the %d-device global mesh.",
-                          effective_bs, n_devices)
+        mp = max(args.model_parallel, 1)
+        if jax.local_device_count() % mp != 0:
+            logging.error("--model_parallel %d must divide the %d local "
+                          "devices (model groups must not straddle hosts).",
+                          mp, jax.local_device_count())
             sys.exit(1)
-        logging.info("multi-host mesh: %d processes, %d devices.",
-                     jax.process_count(), n_devices)
+        mesh = make_global_mesh(model_parallel=mp)
+        n_devices = jax.device_count()
+        if effective_bs % (n_devices // mp) != 0:
+            logging.error("batch size %d (1 in utterance mode) must divide "
+                          "the %d-device data axis of the global mesh.",
+                          effective_bs, n_devices // mp)
+            sys.exit(1)
+        logging.info("multi-host mesh: %d processes, %d devices%s.",
+                     jax.process_count(), n_devices,
+                     f", model_parallel={mp}" if mp > 1 else "")
     else:
         n_devices = args.n_devices
         avail = len(jax.devices())

@@ -6,9 +6,12 @@ with 2 virtual CPU devices, training a tiny model on a shared synthetic
 corpus.  Proves the multihost branch: global mesh construction,
 per-process batch slicing through ``shard_global_batch``, the gradient
 psum crossing process boundaries, and single-writer checkpointing.
+The model_parallel=2 variant additionally shards the layer weights over
+the within-host model axis (multi-host DP x TP).
 """
 
 import os
+import re
 import socket
 import subprocess
 import sys
@@ -19,8 +22,7 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.slow
-def test_train_cli_two_processes(tmp_path):
+def _run_two_process_train(tmp_path, model_parallel):
     from scipy.io import wavfile
 
     from pytorchwavenetvocoder_tpu.utils import write_hdf5
@@ -63,7 +65,8 @@ def test_train_cli_two_processes(tmp_path):
              "--dilation_depth", "3", "--dilation_repeat", "1",
              "--upsampling_factor", str(uf), "--batch_length", "600",
              "--batch_size", "4", "--iters", "4", "--intervals", "2",
-             "--checkpoint_interval", "100", "--verbose", "1"],
+             "--checkpoint_interval", "100", "--verbose", "1",
+             "--model_parallel", str(model_parallel)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, cwd=REPO))
     outs = [p.communicate(timeout=420)[0] for p in procs]
@@ -73,8 +76,21 @@ def test_train_cli_two_processes(tmp_path):
     # single-writer checkpoint
     assert os.path.exists(os.path.join(expdir, "checkpoint-final.pkl"))
     # both processes computed the same (psum-agreed) losses
-    import re
-
     l0 = re.findall(r"average loss = ([\d.]+)", outs[0])
     l1 = re.findall(r"average loss = ([\d.]+)", outs[1])
     assert l0 and l0 == l1, (l0, l1)
+    return outs
+
+
+@pytest.mark.slow
+def test_train_cli_two_processes(tmp_path):
+    _run_two_process_train(tmp_path, model_parallel=1)
+
+
+@pytest.mark.slow
+def test_train_cli_two_processes_model_parallel(tmp_path):
+    """Multi-host DP x TP: the data axis spans the two hosts (one data
+    row block each) and each host's 2 devices form a model-parallel
+    group holding half the layer weights + Adam moments."""
+    outs = _run_two_process_train(tmp_path, model_parallel=2)
+    assert "model_parallel=2" in outs[0]
