@@ -273,5 +273,42 @@ def main():
     }))
 
 
+def _arm_backend_watchdog(seconds: int = 600):
+    """Emit a degraded-but-valid JSON line if device init never returns.
+
+    Covers the outage mode where the backend registered but device
+    initialization hangs (``jax.devices()`` stalling for minutes on a
+    dead TPU tunnel before raising — observed).  The worse mode — the
+    environment's sitecustomize hanging inside plugin registration at
+    interpreter startup, before any line of this file runs — cannot be
+    guarded in-process; only the caller's timeout catches that one.
+    """
+    import signal
+
+    def _bail(signum, frame):
+        print(json.dumps({
+            "metric": "decode_samples_per_sec",
+            "value": 0,
+            "unit": "samples/s",
+            "vs_baseline": 0.0,
+            "error": f"device backend initialization hung >{seconds}s "
+                     "(TPU tunnel outage?); no measurement taken",
+        }), flush=True)
+        os._exit(2)
+
+    try:
+        signal.signal(signal.SIGALRM, _bail)
+        signal.alarm(seconds)
+        return lambda: signal.alarm(0)
+    except (ValueError, AttributeError):  # non-main thread / platform
+        return lambda: None
+
+
 if __name__ == "__main__":
+    _disarm = _arm_backend_watchdog(
+        int(os.environ.get("BENCH_INIT_TIMEOUT", "600")))
+    import jax
+
+    jax.devices()  # force backend init under the watchdog
+    _disarm()
     main()
