@@ -135,7 +135,9 @@ def main(argv=None) -> None:
         batch_size=args.batch_size,
         feature_type=feature_type,
         wav_transform=lambda x: encode_mu_law(x, config.n_quantize),
-        feat_transform=feature_transform(scaler),
+        feat_transform=feature_transform(
+            scaler,
+            n_extra=int(bool(conf.get("use_speaker_code", False)))),
         upsampling_factor=upsampling_factor,
         use_upsampling_layer=use_upsampling_layer,
         use_speaker_code=conf.get("use_speaker_code", False),

@@ -245,6 +245,11 @@ def main(argv=None) -> None:
                           "devices (model groups must not straddle hosts).",
                           mp, jax.local_device_count())
             sys.exit(1)
+        if mp > 1 and args.fused == "true":
+            logging.error("--fused true is incompatible with "
+                          "--model_parallel > 1 (the fused Pallas kernels "
+                          "are single-chip programs).")
+            sys.exit(1)
         mesh = make_global_mesh(model_parallel=mp)
         n_devices = jax.device_count()
         if effective_bs % (n_devices // mp) != 0:
@@ -304,7 +309,10 @@ def main(argv=None) -> None:
             logging.error("fewer training files (%d) than processes (%d).",
                           len(wav_list), np_)
             sys.exit(1)
-        gen_batch_size = max(args.batch_size // np_, 1)
+        # exact by construction: the mesh check above guarantees
+        # batch_size is a multiple of the data axis, which process_count
+        # divides (each host contributes whole data-axis row blocks)
+        gen_batch_size = args.batch_size // np_
 
     generator = train_generator(
         gen_wav, gen_feat,
@@ -313,7 +321,8 @@ def main(argv=None) -> None:
         batch_size=gen_batch_size,
         feature_type=args.feature_type,
         wav_transform=lambda x: encode_mu_law(x, args.n_quantize),
-        feat_transform=feature_transform(scaler),
+        feat_transform=feature_transform(
+            scaler, n_extra=int(bool(args.use_speaker_code))),
         shuffle=True,
         upsampling_factor=args.upsampling_factor,
         use_upsampling_layer=args.use_upsampling_layer,

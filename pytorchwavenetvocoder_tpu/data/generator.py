@@ -177,6 +177,7 @@ def train_generator(wav_list: Sequence[str], feat_list: Sequence[str],
     batch_t: List[np.ndarray] = []
 
     order = np.arange(len(wav_list))
+    yielded_any = False
     while True:
         if shuffle:
             order = rng.permutation(len(wav_list))
@@ -207,6 +208,7 @@ def train_generator(wav_list: Sequence[str], feat_list: Sequence[str],
                         "skipping %s: %d samples <= receptive field %d",
                         wav_list[i], x_in.shape[0], receptive_field)
                     continue
+                yielded_any = True
                 yield (x_in[None], h_out[None]), t[None]
                 continue
 
@@ -251,6 +253,14 @@ def train_generator(wav_list: Sequence[str], feat_list: Sequence[str],
                         yield ((np.stack(batch_x), np.stack(batch_h)),
                                np.stack(batch_t))
                         batch_x, batch_h, batch_t = [], [], []
+
+        if batch_length is None and not yielded_any:
+            # a full epoch produced nothing: every utterance was skipped
+            # as shorter than the receptive field — looping again would
+            # spin forever instead of training
+            raise ValueError(
+                f"no utterance in the corpus exceeds the receptive field "
+                f"({receptive_field} samples); nothing to train on")
 
 
 def _load_decode_features(featfile: str, feature_type: str,

@@ -84,16 +84,18 @@ class StandardScaler:
         return (np.asarray(x) * self.scale_ + self.mean_).astype(np.float32)
 
 
-def feature_transform(scaler: StandardScaler):
+def feature_transform(scaler: StandardScaler, n_extra: int = 1):
     """A transform that standardizes only the scaler's own dimensions.
 
     Speaker-code columns are appended to the aux matrix AFTER stats were
     computed (data/generator.py ``_load_features``), so applying
     ``scaler.transform`` to the concatenated matrix raises a broadcast
     error (the reference had the same ordering bug,
-    `wavenet_vocoder/bin/train.py:466-470` vs `:126-128`).  Extra
-    trailing columns pass through unscaled (speaker codes are already
-    one-hot/ordinal).
+    `wavenet_vocoder/bin/train.py:466-470` vs `:126-128`).  Up to
+    ``n_extra`` trailing columns pass through unscaled (speaker codes
+    are already one-hot/ordinal); any other width mismatch is an error —
+    silently part-scaling a feature matrix from the wrong stats file
+    would produce garbage audio, not a crash.
     """
     n_dims = int(np.asarray(scaler.mean_).reshape(-1).shape[0])
 
@@ -101,10 +103,11 @@ def feature_transform(scaler: StandardScaler):
         h = np.asarray(h)
         if h.shape[-1] == n_dims:
             return scaler.transform(h)
-        if h.shape[-1] < n_dims:
+        if not n_dims < h.shape[-1] <= n_dims + n_extra:
             raise ValueError(
                 f"feature matrix has {h.shape[-1]} dims but the stats "
-                f"cover {n_dims}")
+                f"cover {n_dims} (+ at most {n_extra} appended "
+                f"speaker-code column(s)) — wrong --stats file?")
         return np.concatenate(
             [scaler.transform(h[..., :n_dims]),
              np.asarray(h[..., n_dims:], np.float32)], axis=-1)

@@ -287,3 +287,36 @@ def test_feature_transform_passes_speaker_code_through(tmp_path):
     (bx, bh), bt = next(gen)
     assert bh.shape[2] == 29
     assert np.all(np.abs(bh[0, :, 28]) <= 1.0)  # code col not standardized
+
+
+def test_train_generator_all_short_corpus_raises(tmp_path):
+    """If EVERY utterance is shorter than the receptive field, utterance
+    mode must raise after one fruitless epoch instead of spinning
+    forever without yielding (review fix)."""
+    wav_list, feat_list = make_dataset(tmp_path, n=2, min_sec=0.3,
+                                       max_sec=0.4)
+    gen = train_generator(
+        wav_list, feat_list, receptive_field=16000, batch_length=None,
+        batch_size=1, wav_transform=lambda x: encode_mu_law(x, 256),
+        upsampling_factor=80, use_upsampling_layer=True,
+        shuffle=False, seed=0)
+    with pytest.raises(ValueError, match="receptive field"):
+        next(gen)
+
+
+def test_feature_transform_rejects_unexpected_extra_columns():
+    """Without a speaker code (n_extra=0) a wider-than-stats feature
+    matrix is a wrong-stats-file error, not a silent part-scaled pass
+    (review fix: decode has no n_aux cross-check of its own)."""
+    from pytorchwavenetvocoder_tpu.ops.scaler import (
+        StandardScaler,
+        feature_transform,
+    )
+
+    scaler = StandardScaler()
+    scaler.mean_ = np.zeros(28)
+    scaler.scale_ = np.ones(28)
+    with pytest.raises(ValueError, match="stats"):
+        feature_transform(scaler, n_extra=0)(np.ones((5, 29)))
+    with pytest.raises(ValueError, match="stats"):
+        feature_transform(scaler, n_extra=1)(np.ones((5, 30)))
