@@ -70,10 +70,7 @@ def main(argv=None) -> None:
     import jax
 
     from pytorchwavenetvocoder_tpu.data import decode_generator
-    from pytorchwavenetvocoder_tpu.models.wavenet import (
-        WaveNetConfig,
-        batch_fast_generate,
-    )
+    from pytorchwavenetvocoder_tpu.models.wavenet import batch_fast_generate
     from pytorchwavenetvocoder_tpu.ops.mulaw import decode_mu_law, encode_mu_law
     from pytorchwavenetvocoder_tpu.ops.scaler import StandardScaler
     from pytorchwavenetvocoder_tpu.parallel.checkpoint import (
@@ -82,12 +79,10 @@ def main(argv=None) -> None:
     )
     from pytorchwavenetvocoder_tpu.utils import find_files, read_txt, write_wav
 
-    conf = load_model_conf(args.config)
-    config = WaveNetConfig.from_dict(conf)
-    if not conf.get("use_upsampling_layer", True):
-        import dataclasses
+    from pytorchwavenetvocoder_tpu.convert import config_from_json_conf
 
-        config = dataclasses.replace(config, upsampling_factor=0)
+    conf = load_model_conf(args.config)
+    config = config_from_json_conf(conf)
     logging.info("model config: %s", config)
 
     payload = load_checkpoint(args.checkpoint)

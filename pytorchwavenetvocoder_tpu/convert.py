@@ -191,6 +191,85 @@ def torch_conf_dict_from_config(config: WaveNetConfig,
     }
 
 
+def config_from_json_conf(conf: dict) -> WaveNetConfig:
+    """Build a WaveNetConfig from this framework's JSON model.conf.
+
+    The JSON keeps the pipeline's frame factor in ``upsampling_factor``
+    with ``use_upsampling_layer`` holding the on/off switch; the config
+    encodes "off" as factor 0.  Shared by decode and the exporter so the
+    encoding rule cannot drift between them.
+    """
+    import dataclasses
+
+    config = WaveNetConfig.from_dict(conf)
+    if not conf.get("use_upsampling_layer", True):
+        config = dataclasses.replace(config, upsampling_factor=0)
+    return config
+
+
+def torch_param_key_order(config: WaveNetConfig) -> list:
+    """state_dict key order of the reference WaveNet.
+
+    This equals the reference's ``model.parameters()`` order (module
+    registration order, `wavenet_vocoder/nets/wavenet.py:188-211`; Conv
+    modules contribute weight then bias, and the model has no buffers),
+    which is the index space torch optimizer state_dicts use.
+    ``test_convert.py`` asserts this against the live reference model.
+    """
+    c = config
+    L = c.n_layers
+    keys = ["causal.conv.weight", "causal.conv.bias"]
+    if c.upsampling_factor > 0:
+        keys += ["upsampling.conv.weight", "upsampling.conv.bias"]
+    for mod in ("dil_sigmoid", "dil_tanh"):
+        for l in range(L):
+            keys += [f"{mod}.{l}.conv.weight", f"{mod}.{l}.conv.bias"]
+    for mod in ("aux_1x1_sigmoid", "aux_1x1_tanh", "skip_1x1", "res_1x1"):
+        for l in range(L):
+            keys += [f"{mod}.{l}.weight", f"{mod}.{l}.bias"]
+    keys += ["conv_post_1.weight", "conv_post_1.bias",
+             "conv_post_2.weight", "conv_post_2.bias"]
+    return keys
+
+
+def find_adam_state(opt_state):
+    """Locate the optax ScaleByAdamState (count, mu, nu) in a (possibly
+    chained/pickled) optimizer-state tree; None if absent."""
+    if (hasattr(opt_state, "mu") and hasattr(opt_state, "nu")
+            and hasattr(opt_state, "count")):
+        return opt_state
+    if isinstance(opt_state, (tuple, list)):
+        for element in opt_state:
+            found = find_adam_state(element)
+            if found is not None:
+                return found
+    return None
+
+
+def torch_adam_moments_from_opt_state(opt_state, config: WaveNetConfig):
+    """Map this framework's Adam moments onto the reference's parameter
+    index space: ``(count, {index: (exp_avg, exp_avg_sq)})`` as numpy, or
+    None when the state carries no Adam moments.
+
+    The moment trees are params-shaped, and every layout transform in
+    ``torch_state_dict_from_params`` is a pure permutation/split (no
+    linear mixing), so first and second moments transform exactly like
+    the weights they belong to.  Indices follow
+    :func:`torch_param_key_order` — the order torch's ``Adam`` assigns
+    when constructed over ``model.parameters()``.
+    """
+    adam = find_adam_state(opt_state)
+    if adam is None:
+        return None
+    mu_sd = torch_state_dict_from_params(adam.mu, config)
+    nu_sd = torch_state_dict_from_params(adam.nu, config)
+    order = torch_param_key_order(config)
+    assert set(order) == set(mu_sd), (
+        sorted(set(order) ^ set(mu_sd)))
+    count = int(np.asarray(adam.count))
+    return count, {i: (mu_sd[k], nu_sd[k]) for i, k in enumerate(order)}
+
+
 def config_from_torch_conf(conf) -> WaveNetConfig:
     """Build a WaveNetConfig from a reference model.conf namespace/dict."""
     if not isinstance(conf, dict):

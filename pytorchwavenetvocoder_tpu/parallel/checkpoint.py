@@ -24,6 +24,7 @@ from typing import Any
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 
 def _to_numpy(tree):
@@ -60,14 +61,51 @@ def load_checkpoint(path: str) -> dict:
         return pickle.load(f)
 
 
+def _graft_adam_moments(opt_state, count, mu, nu):
+    """Replace the (count, mu, nu) of the ScaleByAdamState found inside
+    an optax state tree (chains are plain tuples of namedtuples)."""
+    if (hasattr(opt_state, "mu") and hasattr(opt_state, "nu")
+            and hasattr(opt_state, "count")):
+        def cast(ref_tree, val_tree):
+            return jax.tree.map(
+                lambda ref, v: jnp.asarray(np.asarray(v), ref.dtype),
+                ref_tree, val_tree)
+
+        return opt_state._replace(
+            count=jnp.asarray(count, np.asarray(opt_state.count).dtype),
+            mu=cast(opt_state.mu, mu),
+            nu=cast(opt_state.nu, nu))
+    if isinstance(opt_state, tuple):
+        rebuilt = tuple(_graft_adam_moments(s, count, mu, nu)
+                        for s in opt_state)
+        return (type(opt_state)(*rebuilt) if hasattr(opt_state, "_fields")
+                else rebuilt)
+    return opt_state
+
+
 def restore_train_state(path: str, state):
     """Restore params/opt_state/step from ``path`` into ``state``
-    (same pytree structure required)."""
+    (same pytree structure required).
+
+    ``payload["optimizer"]`` may be a full optax state tree (this
+    framework's own checkpoints), ``None`` (fresh optimizer), or an
+    ``{"adam_moments": {count, mu, nu}}`` dict written by
+    ``convert_checkpoint --direction to_jax`` from a reference torch
+    checkpoint — the moments are grafted onto whatever optax chain the
+    current run uses, so converted models RESUME with optimizer
+    continuity instead of restarting Adam.
+    """
     payload = load_checkpoint(path)
     state.params = jax.tree.map(lambda _, v: v, state.params, payload["model"])
-    if payload.get("optimizer") is not None:
-        state.opt_state = jax.tree.map(lambda _, v: v, state.opt_state,
-                                       payload["optimizer"])
+    opt = payload.get("optimizer")
+    if isinstance(opt, dict) and "adam_moments" in opt:
+        m = opt["adam_moments"]
+        state.opt_state = _graft_adam_moments(
+            state.opt_state, m["count"], m["mu"], m["nu"])
+        logging.info("grafted converted Adam moments (count=%d).",
+                     int(m["count"]))
+    elif opt is not None:
+        state.opt_state = jax.tree.map(lambda _, v: v, state.opt_state, opt)
     state.step = payload["iterations"]
     return state
 

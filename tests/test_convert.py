@@ -275,3 +275,103 @@ def test_convert_checkpoint_cli_to_torch_round_trip(tmp_path):
     for a, b in zip(flat_a, flat_b):
         np.testing.assert_array_equal(np.asarray(a, np.float32),
                                       np.asarray(b, np.float32))
+
+
+def test_optimizer_moments_round_trip_for_resume(tmp_path):
+    """Adam moments survive both conversion directions: a model trained
+    here exports a reference-layout {model, optimizer, iterations} the
+    reference's train.py --resume can load (torch Adam load_state_dict +
+    step), with each moment landing on the right parameter; converting
+    back and restore_train_state grafts the identical moments onto a
+    fresh optax state."""
+    torch, TorchWaveNet = _load_reference_wavenet()
+    import pickle
+
+    import jax
+
+    from pytorchwavenetvocoder_tpu.bin import convert_checkpoint
+    from pytorchwavenetvocoder_tpu.convert import (
+        find_adam_state,
+        torch_param_key_order,
+        torch_state_dict_from_params,
+    )
+    from pytorchwavenetvocoder_tpu.parallel import (
+        create_train_state,
+        make_train_step,
+    )
+    from pytorchwavenetvocoder_tpu.parallel.checkpoint import (
+        restore_train_state,
+        save_checkpoint,
+        save_model_conf,
+    )
+
+    cfg = WaveNetConfig(n_aux=6, n_resch=16, n_skipch=16, dilation_depth=3,
+                        dilation_repeat=1, kernel_size=2,
+                        upsampling_factor=10)
+    # the key order contract underlying the optimizer index mapping:
+    # reference named_parameters() order == torch_param_key_order
+    ref_net = TorchWaveNet(
+        n_quantize=cfg.n_quantize, n_aux=cfg.n_aux, n_resch=cfg.n_resch,
+        n_skipch=cfg.n_skipch, dilation_depth=cfg.dilation_depth,
+        dilation_repeat=cfg.dilation_repeat, kernel_size=cfg.kernel_size,
+        upsampling_factor=cfg.upsampling_factor)
+    assert [n for n, _ in ref_net.named_parameters()] == \
+        torch_param_key_order(cfg)
+
+    # train 2 steps here so the moments are non-trivial
+    state = create_train_state(jax.random.PRNGKey(0), cfg, lr=1e-3)
+    step = make_train_step(cfg, lr=1e-3, donate=False)
+    rng = np.random.RandomState(0)
+    bx = rng.randint(0, 256, (1, 201)).astype(np.int32)
+    bh = rng.randn(1, 20, cfg.n_aux).astype(np.float32)
+    for _ in range(2):
+        state, _ = step(state, bx[:, :-1], bh, bx[:, 1:])
+    adam = find_adam_state(state.opt_state)
+    mu_ref = jax.tree.map(np.asarray, adam.mu)
+    nu_ref = jax.tree.map(np.asarray, adam.nu)
+
+    ours = tmp_path / "ours"
+    ours.mkdir()
+    save_checkpoint(str(ours), state, iterations=2)
+    save_model_conf(str(ours), dict(cfg.to_dict(), feature_type="world",
+                                    use_upsampling_layer=True, lr=1e-3))
+
+    exported = str(tmp_path / "torch")
+    convert_checkpoint.main(["--checkpoint", str(ours / "checkpoint-2.pkl"),
+                             "--config", str(ours / "model.conf"),
+                             "--outdir", exported,
+                             "--direction", "to_torch", "--verbose", "0"])
+    ckpt = torch.load(os.path.join(exported, "checkpoint-2.pkl"),
+                      map_location="cpu", weights_only=False)
+    assert set(ckpt) == {"model", "optimizer", "iterations"}
+
+    # the reference resume path: load model + optimizer, take a step
+    ref_net.load_state_dict(ckpt["model"])
+    opt = torch.optim.Adam(ref_net.parameters(), lr=1e-3)
+    opt.load_state_dict(ckpt["optimizer"])
+    # each moment landed on its own parameter
+    mu_sd = torch_state_dict_from_params(mu_ref, cfg)
+    params_by_name = dict(ref_net.named_parameters())
+    for i, name in enumerate(torch_param_key_order(cfg)):
+        got = opt.state[params_by_name[name]]["exp_avg"].numpy()
+        np.testing.assert_array_equal(got, mu_sd[name], err_msg=name)
+    loss = ref_net(torch.from_numpy(bx[:, :-1].astype(np.int64)),
+                   torch.from_numpy(np.transpose(bh, (0, 2, 1)))).sum()
+    loss.backward()
+    opt.step()  # a functioning optimizer, not just a loadable dict
+
+    # back-convert: moments graft onto a fresh optax state bit-exactly
+    back = str(tmp_path / "back")
+    convert_checkpoint.main(["--checkpoint",
+                             os.path.join(exported, "checkpoint-2.pkl"),
+                             "--config", os.path.join(exported, "model.conf"),
+                             "--outdir", back, "--verbose", "0"])
+    fresh = create_train_state(jax.random.PRNGKey(7), cfg, lr=1e-3)
+    restored = restore_train_state(os.path.join(back, "checkpoint-2.pkl"),
+                                   fresh)
+    radam = find_adam_state(restored.opt_state)
+    assert int(radam.count) == 2
+    for a, b in zip(jax.tree.leaves(radam.mu), jax.tree.leaves(mu_ref)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    for a, b in zip(jax.tree.leaves(radam.nu), jax.tree.leaves(nu_ref)):
+        np.testing.assert_array_equal(np.asarray(a), b)
