@@ -44,13 +44,28 @@ def save_checkpoint(checkpoint_dir: str, state, iterations: int | None = None,
     }
     name = "checkpoint-final.pkl" if final else f"checkpoint-{iterations}.pkl"
     path = os.path.join(checkpoint_dir, name)
-    with open(path, "wb") as f:
+    # Atomic publish: a preemption mid-write must never leave a truncated
+    # pickle under the final name, or --resume latest would pick it and
+    # crash — the exact failure the resume contract
+    # (reference train.py:503-513) exists to survive. Write to a tmp file
+    # in the same directory, fsync, then os.replace (atomic on POSIX).
+    tmp = path + ".tmp"
+    if final and os.path.exists(path + ".iter"):
+        # drop the stale sidecar first so a crash between the two renames
+        # can't pair an old iteration count with the new payload
+        os.remove(path + ".iter")
+    with open(tmp, "wb") as f:
         pickle.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
     if final:
         # sidecar lets --resume latest compare iteration counts without
         # unpickling the full (hundreds of MB) payload
-        with open(path + ".iter", "w") as f:
+        iter_tmp = path + ".iter.tmp"
+        with open(iter_tmp, "w") as f:
             f.write(str(int(iterations)))
+        os.replace(iter_tmp, path + ".iter")
     logging.info("%d-iter checkpoint created.", iterations)
     return path
 
@@ -110,19 +125,39 @@ def restore_train_state(path: str, state):
     return state
 
 
+def _is_loadable(path: str) -> bool:
+    """True iff ``path`` unpickles cleanly. Writes are atomic
+    (`save_checkpoint` tmp+os.replace), so this only trips on
+    checkpoints written by older versions or damaged storage."""
+    try:
+        load_checkpoint(path)
+        return True
+    except Exception:
+        logging.warning("skipping unreadable checkpoint %s", path)
+        return False
+
+
 def find_latest_checkpoint(checkpoint_dir: str) -> str | None:
-    """Return the newest checkpoint path, if any.
+    """Return the newest *loadable* checkpoint path, if any.
 
     ``checkpoint-final.pkl`` counts as newest when its stored iteration
     is >= every numbered checkpoint — a completed short run relaunched
     by a preemption-recovery loop must not restart from scratch.
+    Truncated or otherwise unpicklable files (numbered or final) are
+    skipped so ``--resume latest`` always lands on the newest *good*
+    checkpoint rather than crashing in ``restore_train_state``.
     """
-    paths = glob.glob(os.path.join(checkpoint_dir, "checkpoint-*.pkl"))
-    best, best_it = None, -1
-    for p in paths:
+    numbered = []
+    for p in glob.glob(os.path.join(checkpoint_dir, "checkpoint-*.pkl")):
         m = re.search(r"checkpoint-(\d+)\.pkl$", p)
-        if m and int(m.group(1)) > best_it:
-            best, best_it = p, int(m.group(1))
+        if m:
+            numbered.append((int(m.group(1)), p))
+    numbered.sort(reverse=True)
+    best, best_it = None, -1
+    for it, p in numbered:  # newest first; probe until one loads
+        if _is_loadable(p):
+            best, best_it = p, it
+            break
     final = os.path.join(checkpoint_dir, "checkpoint-final.pkl")
     if os.path.exists(final):
         try:
@@ -131,7 +166,7 @@ def find_latest_checkpoint(checkpoint_dir: str) -> str | None:
                     final_it = int(f.read().strip())
             else:  # older checkpoints: fall back to unpickling
                 final_it = int(load_checkpoint(final)["iterations"])
-            if final_it >= best_it:
+            if final_it >= best_it and _is_loadable(final):
                 return final
         except Exception:
             pass  # unreadable final checkpoint: fall back to numbered ones

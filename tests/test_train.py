@@ -126,6 +126,44 @@ def test_find_latest_sees_final_checkpoint(tmp_path):
     assert find_latest_checkpoint(d).endswith("checkpoint-final.pkl")
 
 
+def test_resume_recovers_from_truncated_checkpoint(tmp_path):
+    """A preemption mid-write must not break --resume latest.
+
+    Simulates the failure VERDICT r3 flagged: a checkpoint file cut off
+    mid-stream (as a non-atomic writer would leave it). find_latest must
+    skip it — numbered or final — and land on the newest good one, and
+    restore must succeed from that.
+    """
+    cfg = tiny_cfg()
+    state = create_train_state(jax.random.PRNGKey(0), cfg, lr=1e-3)
+    d = str(tmp_path)
+    import os
+    good = save_checkpoint(d, state, iterations=100)
+    # no tmp litter from the atomic write
+    assert not any(f.endswith(".tmp") for f in os.listdir(d))
+
+    # forge a truncated newer checkpoint (old non-atomic writer's corpse)
+    bad = os.path.join(d, "checkpoint-200.pkl")
+    with open(good, "rb") as f:
+        blob = f.read()
+    with open(bad, "wb") as f:
+        f.write(blob[: len(blob) // 3])
+
+    latest = find_latest_checkpoint(d)
+    assert latest == good
+    fresh = create_train_state(jax.random.PRNGKey(7), cfg, lr=1e-3)
+    fresh = restore_train_state(latest, fresh)
+    assert int(fresh.step) == 100
+
+    # truncated *final* checkpoint with a live sidecar is skipped too
+    final = os.path.join(d, "checkpoint-final.pkl")
+    with open(final, "wb") as f:
+        f.write(blob[: len(blob) // 3])
+    with open(final + ".iter", "w") as f:
+        f.write("300")
+    assert find_latest_checkpoint(d) == good
+
+
 def test_model_conf_roundtrip(tmp_path):
     cfg = tiny_cfg()
     conf = dict(cfg.to_dict(), lr=1e-4, feature_type="world")
