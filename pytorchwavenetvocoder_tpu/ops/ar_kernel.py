@@ -243,6 +243,28 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         act_buf = jnp.concatenate(parts, axis=0)
 
     wpack, auxpack, causal_pack, post1_w, post2_w, biases = _pack_weights(params, c)
+    # One-matmul aux conditioning (experimental, default OFF): the 30
+    # separate (B,32)@(32,2R) aux matmuls attribute to ~22 us/step (3x
+    # their pass count's worth — per-op issue overhead dominates at
+    # K=32), so batching them into ONE (B,32)@(32,L*2R) matmul into a
+    # (B, L*2R) bf16 scratch should reclaim most of that.  Measured
+    # A/B on hardware straddled tunnel noise (no consistent win): the
+    # big matmul sits on the serial spine's critical path before the
+    # layer chain starts, while the per-layer form overlaps with ring
+    # DMA waits.  Kept behind _WN_AR_AUX_ONEMM=1 for re-evaluation.
+    aux_pack_bytes = L * R * W * (1 if quantize else 2)
+    aux_buf_bytes = B * L * 2 * R * 2
+    tap_bytes = L * (k - 1) * B * RW * 2
+    aux_onemm = bool(quantize and resident
+                     and (aux_pack_bytes + aux_buf_bytes + tap_bytes
+                          + 16 * 1024 * 1024) < VMEM_BUDGET_BYTES
+                     and _os.environ.get("_WN_AR_AUX_ONEMM", "0") == "1")
+    if aux_onemm:
+        aux_rows_all = auxpack.shape[1]
+        auxall = jnp.transpose(auxpack, (1, 0, 2)).reshape(
+            aux_rows_all, L * 2 * R)                         # (32, L*2R)
+    else:
+        auxall = jnp.zeros((1, 128), jnp.bfloat16)           # unused
     if quantize:
         wf = wpack.astype(jnp.float32)                       # (L, R, W)
         wscale = jnp.maximum(jnp.max(jnp.abs(wf), axis=1), 1e-8) / 127.0
@@ -281,16 +303,16 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
 
     def kernel(seed_ref, ascale_ref,              # SMEM
                wpack_ref, wscale_ref, h_ref, actbuf_in_ref,
-               auxpack_ref, causal_ref, post1_ref, post2_ref,
+               auxpack_ref, auxall_ref, causal_ref, post1_ref, post2_ref,
                dil_b_ref, sr_b_ref, causal_b_ref, post1_b_ref, post2_b_ref,
                prev_init_ref,
                samples_ref, actbuf_ref,           # outputs (actbuf aliased)
                *scratch):
         if resident:
-            (tap_buf, hcol_buf, out_buf, prev_buf, samp_buf,
+            (tap_buf, aux_buf, hcol_buf, out_buf, prev_buf, samp_buf,
              read_sems, write_sems, h_sem, samp_sem) = scratch
         else:
-            (tap_buf, w_buf, hcol_buf, out_buf, prev_buf, samp_buf,
+            (tap_buf, aux_buf, w_buf, hcol_buf, out_buf, prev_buf, samp_buf,
              read_sems, write_sems, w_sems, h_sem, samp_sem) = scratch
 
         i = pl.program_id(0)
@@ -400,17 +422,30 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         h_dma(p, i % 2).wait()
         hcol = hcol_buf[i % 2, :, :aux_rows]      # (B, aux_rows) bf16
 
+        if aux_onemm:
+            # all L layers' aux conditioning in one (B,32)@(32,L*2R)
+            # matmul (see aux_onemm comment above)
+            aux_buf[:] = jnp.dot(
+                hcol, auxall_ref[:],
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
         skip = jnp.zeros((B, S), jnp.float32)
 
         def z_indep(l):
             """Layer l's gate-input terms that do NOT depend on the serial
             chain: ring taps, aux conditioning, bias."""
             g, rep = l % depth, l // depth
+            def aux_term(zp):
+                if _DEBUG_NOAUX:
+                    return zp
+                if aux_onemm:
+                    return zp + aux_buf[:, l * 2 * R:(l + 1) * 2 * R
+                                        ].astype(jnp.float32)
+                return zp + jnp.dot(hcol, auxpack_ref[l],
+                                    preferred_element_type=jnp.float32)
+
             if _DEBUG_NOTAP:
-                zp = jnp.zeros((B, 2 * R), jnp.float32)
-                if not _DEBUG_NOAUX:
-                    zp = zp + jnp.dot(hcol, auxpack_ref[l],
-                                      preferred_element_type=jnp.float32)
+                zp = aux_term(jnp.zeros((B, 2 * R), jnp.float32))
                 return zp + dil_b_ref[l][None, :]
             if rep == 0:  # the group's DMA is waited once, by its first member
                 for j in range(1, k):
@@ -436,10 +471,7 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                     zp = zp + jnp.dot(tap_row(j),
                                       w_cols(l, j * 2 * R, (j + 1) * 2 * R),
                                       preferred_element_type=jnp.float32)
-            if not _DEBUG_NOAUX:
-                zp = zp + jnp.dot(hcol, auxpack_ref[l],
-                                  preferred_element_type=jnp.float32)
-            return zp + dil_b_ref[l][None, :]
+            return aux_term(zp) + dil_b_ref[l][None, :]
 
         # ---- layer chain, software-pipelined by one layer -------------
         # The chain's serial spine is matmul(z) -> gate (VPU) ->
@@ -582,6 +614,8 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
 
     pack_dt = jnp.int8 if quantize else jnp.bfloat16
     scratch_shapes = [pltpu.VMEM((L * (k - 1), B, RW), jnp.bfloat16)]  # tap_buf
+    scratch_shapes.append(pltpu.VMEM(
+        (B, L * 2 * R) if aux_onemm else (8, 128), jnp.bfloat16))  # aux_buf
     if not resident:
         scratch_shapes.append(pltpu.VMEM((2, R, W), pack_dt))  # w_buf
     scratch_shapes += [
@@ -619,6 +653,8 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
             pl.BlockSpec(memory_space=pl.ANY),     # act_buf (aliased)
             pl.BlockSpec((L, aux_rows, 2 * R), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(auxall.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),             # auxall
             pl.BlockSpec((k * Q, R), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((S, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -652,8 +688,8 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
             # + scratch at large B need most of the chip's ~128 MiB
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
-    )(seed, act_scales, wpack, wscale, h_t, act_buf, auxpack, causal_pack, post1_w,
-      post2_w, biases["dil_b"], biases["sr_b"], biases["causal_b"],
-      biases["post1_b"], biases["post2_b"], prev_init)
+    )(seed, act_scales, wpack, wscale, h_t, act_buf, auxpack, auxall,
+      causal_pack, post1_w, post2_w, biases["dil_b"], biases["sr_b"],
+      biases["causal_b"], biases["post1_b"], biases["post2_b"], prev_init)
 
     return jnp.transpose(samples[:max_n, :B], (1, 0))

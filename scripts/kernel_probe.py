@@ -73,13 +73,19 @@ def main():
                                   quantize=quantize, act_scales=scales))
     compile_s = time.time() - t0
 
+    # best-of-14 in two separated rounds (mirrors bench.py): the tunnel
+    # shows multi-second degraded windows that a 3-rep loop sits inside
     times = []
-    for k in range(1, 4):
-        t0 = time.time()
-        np.asarray(pallas_ar_generate(params, config, carry, hj, T0,
-                                      n_samples, mode, jax.random.PRNGKey(k),
-                                      quantize=quantize, act_scales=scales))
-        times.append(time.time() - t0)
+    for base in (1, 100):
+        for k in range(base, base + 7):
+            t0 = time.time()
+            np.asarray(pallas_ar_generate(params, config, carry, hj, T0,
+                                          n_samples, mode,
+                                          jax.random.PRNGKey(k),
+                                          quantize=quantize,
+                                          act_scales=scales))
+            times.append(time.time() - t0)
+        time.sleep(3.0)
     el = min(times)
     print(f"B={B} mode={mode} q={quantize} n={n_samples}: {el:.4f}s "
           f"{el / n_samples * 1e6:.2f} us/step "

@@ -14,6 +14,16 @@ Usage: python scripts/matmul_chain_probe.py [B] [n_steps] [variant]
            "full"   - 2 serial matmuls, ALL columns consumed (no DCE)
            "dual"   - like full, but two independent B/2 chains
                       interleaved per layer (pipeline-drain recovery)
+           "int8"   - the quantized proj_fwd spine exactly as the AR
+                      kernel runs it: round/clip/cast quantize (VPU) +
+                      int8 MXU matmul + f32 dequant scale, per layer
+                      [cur+fwd 512->2048, gate, sr 512->768]
+           "int8raw" - same matmul shapes on the int8 MXU but with the
+                      quantize/dequant VPU work REMOVED (int8 inputs
+                      carried layer to layer): the pure serial-int8-MXU
+                      rate.  int8 - int8raw = the VPU quantization tax;
+                      int8raw vs the 394-TOPS peak = the pipeline-drain
+                      cost of serial dependence.
 """
 
 import os
@@ -53,12 +63,28 @@ def main():
         weights = {"wm": w_merged, "ws": w_sr}
     elif variant in ("spine", "full", "dual"):
         weights = {"wc": w_cur, "ws": w_sr}
+    elif variant in ("int8", "int8raw"):
+        # proj_fwd kernel shapes: cur+forward matmul is (R, 4R), sr is
+        # (R, S+R); quantized per-output-channel like the AR kernel
+        wq1 = jnp.clip(jnp.round(
+            jax.random.normal(key, (L, R, 4 * R)) * 40), -127, 127
+            ).astype(jnp.int8)
+        wq2 = jnp.clip(jnp.round(
+            jax.random.normal(jax.random.PRNGKey(1), (L, R, S + R)) * 40),
+            -127, 127).astype(jnp.int8)
+        weights = {"w1": wq1, "w2": wq2}
     else:
         weights = {"wc": w_cur, "wp": w_past, "ws": w_sr}
     wnames = list(weights)
     w_back = jax.random.normal(key, (L, 2 * R, R), jnp.bfloat16) * 0.02
     if variant in ("full", "dual"):
         weights["wb"] = w_back
+        wnames = list(weights)
+    if variant == "int8":
+        # per-output-channel dequant scales, like the AR kernel's wscale
+        weights["wsc"] = (jnp.abs(jax.random.normal(
+            jax.random.PRNGKey(2), (L, 4 * R + S + R))) * 1e-3 + 1e-4
+            ).astype(jnp.float32)
         wnames = list(weights)
 
     def kernel(x_ref, *refs):
@@ -67,7 +93,7 @@ def main():
         wc_ref = wrefs.get("wc")
         wp_ref = wrefs.get("wp")
         wm_ref = wrefs.get("wm")
-        ws_ref = wrefs["ws"]
+        ws_ref = wrefs.get("ws")
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -75,7 +101,51 @@ def main():
             acc[:] = x_ref[:]
 
         wb_ref = wrefs.get("wb")
-        if variant == "full":
+        if variant == "int8":
+            # mirror ops/ar_kernel.py qdot: round/clip/cast quantize on
+            # the VPU, int8 MXU matmul, f32 per-column dequant — the
+            # full dependent spine of the quantized proj_fwd kernel
+            w1_ref, w2_ref = wrefs["w1"], wrefs["w2"]
+            wsc_ref = wrefs["wsc"]
+            out = acc[:].astype(jnp.float32)
+            sink = jnp.zeros((B, R), jnp.float32)
+            for l in range(L):
+                xq = jnp.clip(jnp.round(out * 25.4), -127, 127
+                              ).astype(jnp.int8)
+                z = jnp.dot(xq, w1_ref[l], preferred_element_type=jnp.int32)
+                zf = (z.astype(jnp.float32)
+                      * wsc_ref[l, : 4 * R][None, :])        # (B, 4R)
+                gate = jax.nn.sigmoid(zf[:, :R]) * jnp.tanh(zf[:, R:2 * R])
+                gq = jnp.clip(jnp.round(gate * 127.0), -127, 127
+                              ).astype(jnp.int8)
+                sr = jnp.dot(gq, w2_ref[l], preferred_element_type=jnp.int32)
+                srf = (sr.astype(jnp.float32)
+                       * wsc_ref[l, 4 * R:][None, :])        # (B, S+R)
+                out = srf[:, S:] + out
+                # consume the forward-projection half like the real
+                # kernel does (it stages zfull[:, 2R:] into the ring) —
+                # without this Mosaic DCEs half the first matmul
+                sink = sink + zf[:, 2 * R: 3 * R] + zf[:, 3 * R:]
+            acc[:] = (out + 1e-20 * sink).astype(jnp.bfloat16)
+        elif variant == "int8raw":
+            # activations carried int8 end to end: no quantize/dequant
+            # VPU work, only a shift renorm to keep the serial dependence
+            # (Mosaic has no i8 vector arithmetic: carry i32, cast to i8
+            # only at the dot inputs)
+            w1_ref, w2_ref = wrefs["w1"], wrefs["w2"]
+            out32 = acc[:].astype(jnp.int32)
+            sink = jnp.zeros((B, R), jnp.int32)
+            for l in range(L):
+                x8 = jnp.clip(out32, -127, 127).astype(jnp.int8)
+                z = jnp.dot(x8, w1_ref[l], preferred_element_type=jnp.int32)
+                g8 = jnp.clip(jax.lax.shift_right_arithmetic(z[:, :R], 9),
+                              -127, 127).astype(jnp.int8)
+                sr = jnp.dot(g8, w2_ref[l], preferred_element_type=jnp.int32)
+                out32 = jax.lax.shift_right_arithmetic(sr[:, S:], 9) + out32
+                sink = sink + z[:, 2 * R: 3 * R] + z[:, 3 * R:]
+            acc[:] = (out32 + jax.lax.shift_right_arithmetic(sink, 30)
+                      ).astype(jnp.bfloat16)
+        elif variant == "full":
             out = acc[:]
             for l in range(L):
                 z = jnp.dot(out, wc_ref[l], preferred_element_type=jnp.float32)
@@ -127,7 +197,7 @@ def main():
         in_specs=[pl.BlockSpec((B, R), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)] +
                  [pl.BlockSpec(weights[wn].shape,
-                               lambda i: (0, 0, 0),
+                               lambda i, nd=weights[wn].ndim: (0,) * nd,
                                memory_space=pltpu.VMEM)
                   for wn in wnames],
         out_specs=pl.BlockSpec((B, R), lambda i: (0, 0),
@@ -153,9 +223,11 @@ def main():
              "merged": 2 * B * (2 * R) * (2 * R) * L + 2 * B * R * (S + R) * L,
              "spine": 2 * B * R * (2 * R + S + R) * L,
              "full": 2 * B * R * 2 * R * 2 * L,
-             "dual": 2 * B * R * 2 * R * 2 * L}[variant]
+             "dual": 2 * B * R * 2 * R * 2 * L,
+             "int8": 2 * B * R * (4 * R + S + R) * L,
+             "int8raw": 2 * B * R * (4 * R + S + R) * L}[variant]
     print(f"chain B={B} variant={variant}: {el / n * 1e6:.2f} us/step  "
-          f"{flops / (el / n) / 1e12:.1f} TFLOPs "
+          f"{flops / (el / n) / 1e12:.1f} T(FL)OPs "
           f"(compile {compile_s:.1f}s)")
 
 
