@@ -172,16 +172,51 @@ def calibrate_act_scales(params, config, x, h_up):
     return (1.25 * jnp.maximum(maxes, 1e-3) / 127.0)[:, None]  # (L, 1)
 
 
+def staged_aux_rows(config) -> int:
+    """Lane width of the kernel's staged aux stream (128-aligned)."""
+    aux_rows = max(32, ((config.n_aux + 31) // 32) * 32)  # _pack_weights
+    return max(128, ((aux_rows + 127) // 128) * 128)
+
+
+@partial(jax.jit, static_argnames=("h_rows", "chunk"))
+def stage_aux(h_up, h_rows: int = 128, chunk: int = 2048):
+    """(B, T, A) aux -> the kernel's (T, B, h_rows) bf16 layout, built in
+    bounded T-chunks.
+
+    ``pallas_ar_generate`` stages this internally in ONE op, whose XLA
+    lowering materializes both the transposed source and the padded
+    target (~2x the final array) — at fleet 512 x 51k samples that is
+    2 x 6.2 GB of temp and OOMs the chip.  Staging here via lax.map
+    bounds the temp to one chunk; pass the result with
+    ``prestaged=True``."""
+    B, T, A = h_up.shape
+    nc = -(-T // chunk)
+    hp = jnp.pad(h_up, ((0, 0), (0, nc * chunk - T), (0, 0)))
+
+    def one(i):
+        hb = jax.lax.dynamic_slice_in_dim(hp, i * chunk, chunk, 1)
+        out = jnp.zeros((chunk, B, h_rows), jnp.bfloat16)
+        return out.at[:, :, :A].set(
+            jnp.transpose(hb, (1, 0, 2)).astype(jnp.bfloat16))
+
+    out = jax.lax.map(one, jnp.arange(nc))
+    return out.reshape(nc * chunk, B, h_rows)[:T]
+
+
 @partial(jax.jit, static_argnames=("config", "T0", "max_n", "mode",
-                                   "interpret", "quantize"))
+                                   "interpret", "quantize", "prestaged"))
 def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                        mode: str, rng, interpret: bool = False,
-                       quantize: bool = False, act_scales=None):
+                       quantize: bool = False, act_scales=None,
+                       prestaged: bool = False):
     """Fused AR decode. Same contract as ``_scan_from_state``.
 
     Args:
       carry: (act_buf, sample_hist (B, k-1), prev (B,)) from _warmup_state.
-      h_up: (B, >= T0 + max_n, A) sample-rate aux.
+      h_up: (B, >= T0 + max_n, A) sample-rate aux — or, with
+        ``prestaged=True``, the (>= T0 + max_n, B, staged_aux_rows) bf16
+        stream from ``stage_aux`` (bounded-memory staging for huge
+        fleets).
       quantize: run the large per-layer matmuls on the int8 MXU (2x the
         bf16 rate).  Weights use per-output-channel scales; activations
         use STATIC per-layer scales calibrated from the teacher-forced
@@ -278,11 +313,21 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
     # 128-aligned on TPU (Mosaic memref_slice tiling constraint)
     h_rows = max(128, ((aux_rows + 127) // 128) * 128)
 
-    # bf16: the aux projection consumes bf16 anyway, and f32 would cost
-    # T * B * 128 * 4 bytes of HBM for long-utterance fleets
-    h_t = jnp.zeros((T0 + max_n, B, h_rows), jnp.bfloat16)
-    h_t = h_t.at[:, :, :A].set(
-        jnp.transpose(h_up[:, : T0 + max_n, :], (1, 0, 2)).astype(jnp.bfloat16))
+    if prestaged:
+        # caller built the stream with stage_aux (bounded-memory path)
+        if (h_up.ndim != 3 or h_up.shape[1] != B or h_up.shape[2] != h_rows
+                or h_up.shape[0] < T0 + max_n or h_up.dtype != jnp.bfloat16):
+            raise ValueError(
+                f"prestaged aux must be (>= {T0 + max_n}, {B}, {h_rows}) "
+                f"bf16 from stage_aux; got {h_up.shape} {h_up.dtype}")
+        h_t = h_up[: T0 + max_n]
+    else:
+        # bf16: the aux projection consumes bf16 anyway, and f32 would
+        # cost T * B * 128 * 4 bytes of HBM for long-utterance fleets
+        h_t = jnp.zeros((T0 + max_n, B, h_rows), jnp.bfloat16)
+        h_t = h_t.at[:, :, :A].set(
+            jnp.transpose(h_up[:, : T0 + max_n, :], (1, 0, 2))
+            .astype(jnp.bfloat16))
 
     act_buf = act_buf.astype(jnp.bfloat16)
     # ids at lags k-1 .. 0, oldest first

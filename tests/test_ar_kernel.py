@@ -67,6 +67,34 @@ def test_pallas_matches_scan_argmax(B):
     np.testing.assert_array_equal(ref, out)
 
 
+def test_prestaged_aux_matches_internal_staging():
+    """stage_aux + prestaged=True must reproduce the internal staging
+    exactly (the bounded-memory path for huge decode fleets)."""
+    from pytorchwavenetvocoder_tpu.ops.ar_kernel import (
+        stage_aux,
+        staged_aux_rows,
+    )
+
+    cfg = small_cfg()
+    params = init_wavenet_params(jax.random.PRNGKey(3), cfg)
+    B, n = 4, 20
+    xj, hj = _make(cfg, B, n)
+    T0 = xj.shape[1]
+    carry = _warmup_state(params, cfg, xj, hj)
+    ref = np.asarray(pallas_ar_generate(params, cfg, carry, hj, T0, n,
+                                        "argmax", jax.random.PRNGKey(0),
+                                        interpret=True))
+    staged = stage_aux(hj, staged_aux_rows(cfg), chunk=16)  # force chunking
+    out = np.asarray(pallas_ar_generate(params, cfg, carry, staged, T0, n,
+                                        "argmax", jax.random.PRNGKey(0),
+                                        interpret=True, prestaged=True))
+    np.testing.assert_array_equal(ref, out)
+    with pytest.raises(ValueError):
+        pallas_ar_generate(params, cfg, carry, staged[:, :, :64], T0, n,
+                           "argmax", jax.random.PRNGKey(0),
+                           interpret=True, prestaged=True)
+
+
 @pytest.mark.skip(reason="pltpu.prng_seed has no CPU interpret lowering; "
                          "sampling mode is exercised on hardware by bench.py")
 def test_pallas_sampling_mode_runs():

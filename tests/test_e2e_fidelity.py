@@ -204,7 +204,8 @@ def test_real_training_fidelity(family):
     assert abs(mcd_ours - mcd_torch) < 1.0, (mcd_ours, mcd_torch)
 
 
-def test_full_recipe_decode_path(tmp_path):
+@pytest.mark.parametrize("corpus", ["tone", "klatt"])
+def test_full_recipe_decode_path(tmp_path, corpus):
     """Trained-torch checkpoint through the FULL on-disk recipe surface.
 
     Stages 1-3 run this framework's real CLIs on a synthetic voice
@@ -214,6 +215,13 @@ def test_full_recipe_decode_path(tmp_path):
     stage 5 ``decode.py`` writes wavs to disk; stage 6 restores the
     noise shaping; the decoded eval set must beat the noise floor by a
     wide MCD margin.
+
+    ``corpus="tone"`` is the aux-determined pitch corpus (easy for the
+    toy model, tight gate); ``corpus="klatt"`` is pseudo-SPEECH
+    (eval/klatt.py: glottal source + moving formants + fricatives/
+    plosives) — much harder at toy scale, so its gate only requires
+    clearly beating the noise floor; it proves the cross-framework
+    story on speech-structured audio, the thing the tone corpus can't.
     """
     torch, TorchWaveNet = _load_reference_wavenet()
 
@@ -234,14 +242,22 @@ def test_full_recipe_decode_path(tmp_path):
 
     # ---- stage 0: synthetic voice corpus on disk ------------------------
     n_tr, n_ev, T_utt = 6, 2, 12000
+
+    def corpus_wav(seed):
+        if corpus == "tone":
+            w, _ = _make_corpus(4, T_utt, seed=seed)
+            return w.astype(np.float32)
+        from pytorchwavenetvocoder_tpu.eval.klatt import synthesize_utterance
+
+        return (synthesize_utterance(seed, fs=fs, n_syllables=4)
+                .astype(np.float32) / 32768.0)
+
     for i in range(n_tr):
-        w, _ = _make_corpus(4, T_utt, seed=10 + i)
         write_wav(os.path.join(root, f"wav/tr/utt{i}.wav"),
-                  w.astype(np.float32), fs)
+                  corpus_wav(10 + i), fs)
     for i in range(n_ev):
-        w, _ = _make_corpus(4, T_utt, seed=90 + i)
         write_wav(os.path.join(root, f"wav/ev/utt{i}.wav"),
-                  w.astype(np.float32), fs)
+                  corpus_wav(90 + i), fs)
 
     # ---- stages 1-3: the real preprocessing CLIs ------------------------
     for split in ("tr", "ev"):
@@ -277,9 +293,14 @@ def test_full_recipe_decode_path(tmp_path):
     scaler.mean_ = read_hdf5(stats_path, "/world/mean")
     scaler.scale_ = read_hdf5(stats_path, "/world/scale")
 
+    # klatt pseudo-speech (moving formants, fricatives) needs more
+    # capacity and iterations than the 3-pitch tone corpus
     n_aux = 28
+    resch, skipch = (32, 16) if corpus == "tone" else (48, 32)
+    n_iters = 350 if corpus == "tone" else 1400
     torch.manual_seed(0)
-    tnet = TorchWaveNet(n_quantize=256, n_aux=n_aux, n_resch=32, n_skipch=16,
+    tnet = TorchWaveNet(n_quantize=256, n_aux=n_aux, n_resch=resch,
+                        n_skipch=skipch,
                         dilation_depth=6, dilation_repeat=1, kernel_size=2,
                         upsampling_factor=uf)
     torch.nn.init.constant_(tnet.upsampling.conv.weight, 1.0)
@@ -287,18 +308,18 @@ def test_full_recipe_decode_path(tmp_path):
     opt = torch.optim.Adam(tnet.parameters(), lr=3e-3)
     lossfn = torch.nn.CrossEntropyLoss()
 
-    corpus = []
+    train_set = []
     for i in range(n_tr):
         w, _ = read_wav(os.path.join(root, "wav_nwf/tr", f"utt{i}.wav"),
                         dtype="float64")
         feats = scaler.transform(
             read_hdf5(tr_h5[i], "/world")).astype(np.float32)
-        corpus.append((encode_mu_law(w, 256), feats))
+        train_set.append((encode_mu_law(w, 256), feats))
 
     rng = np.random.RandomState(7)
     bl = 1600
-    for it in range(350):
-        ids, feats = corpus[rng.randint(n_tr)]
+    for it in range(n_iters):
+        ids, feats = train_set[rng.randint(n_tr)]
         max_f = min(len(feats), len(ids) // uf) - bl // uf - 1
         fstart = rng.randint(0, max_f)
         s = fstart * uf
@@ -310,7 +331,9 @@ def test_full_recipe_decode_path(tmp_path):
         opt.zero_grad()
         loss.backward()
         opt.step()
-    assert float(loss.detach()) < 3.0  # it learned something
+    # it learned something (klatt: mu-law CE starts at ln256 ~ 5.55; the
+    # toy model lands in the mid-3s on pseudo-speech)
+    assert float(loss.detach()) < (3.0 if corpus == "tone" else 4.6)
 
     # save in the REFERENCE's own formats (torch.save for both the
     # checkpoint and the pickled-Namespace model.conf, train.py:315-332,429)
@@ -318,9 +341,9 @@ def test_full_recipe_decode_path(tmp_path):
 
     ref_ckpt = os.path.join(root, "checkpoint-350.pkl")
     ref_conf = os.path.join(root, "model.conf")
-    torch.save({"model": tnet.state_dict(), "iterations": 350}, ref_ckpt)
+    torch.save({"model": tnet.state_dict(), "iterations": n_iters}, ref_ckpt)
     ns = _ap.Namespace(
-        n_quantize=256, n_aux=n_aux, n_resch=32, n_skipch=16,
+        n_quantize=256, n_aux=n_aux, n_resch=resch, n_skipch=skipch,
         dilation_depth=6, dilation_repeat=1, kernel_size=2,
         upsampling_factor=uf, use_upsampling_layer=True,
         use_speaker_code=False, feature_type="world")
@@ -366,4 +389,8 @@ def test_full_recipe_decode_path(tmp_path):
         floors.append(compute_mcd(ref[:n], rng.uniform(-0.5, 0.5, n), fs,
                                   align="dtw"))
     assert len(mcds) == n_ev
-    assert np.mean(mcds) < np.mean(floors) - 2.0, (mcds, floors)
+    # klatt pseudo-speech is far harder for this toy model (moving
+    # formants, fricatives) than the aux-determined tone; it must still
+    # clearly beat the unconditional noise floor
+    margin = 2.0 if corpus == "tone" else 1.0
+    assert np.mean(mcds) < np.mean(floors) - margin, (corpus, mcds, floors)
