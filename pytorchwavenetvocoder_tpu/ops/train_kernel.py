@@ -34,14 +34,15 @@ recent (M, .) tiles** and a tap at arbitrary dynamic shift is realized
 as ``pltpu.roll`` (a dynamic rotate) of the ring followed by a static
 slice.  Ring slots not yet written this layer read as zeros, which is
 exactly the causal zero-padding semantics.  Mosaic's dynamic rotate
-requires 32-bit data; the backward ring stores f32, while the forward
-ring stores bf16 rows **sublane-packed in pairs into int32**
-(``pltpu.bitcast``) so its per-tap rotate moves half the bytes — the
+requires 32-bit data, so BOTH rings store bf16 rows **sublane-packed
+in pairs into int32** (``pltpu.bitcast``) — every ring consumer casts
+to bf16 anyway, and the packing halves the per-tap rotate bytes.  The
 rolls were measured to be the forward kernel's entire overhead
-(~3.3 ms/step; the backward's overlap under its independent
-weight-grad matmuls).  An odd shift needs rows from both halves of
-adjacent packed words: one rotate plus a 16-bit shift/or recombine of
-the rotation and its one-row-offset slice reconstructs it.
+(~3.3 ms/step); the backward's dz ring was 4 MB/rotate as f32 at the
+flagship shape (x1200 rotates/step), its largest non-matmul cost.  An
+odd shift needs rows from both halves of adjacent packed words: one
+rotate plus a 16-bit shift/or recombine of the rotation and its
+one-row-offset slice reconstructs it.
 
 Unlike remat (which re-materializes the recomputed intermediates to HBM
 and was measured ~15% SLOWER here), saving only the bf16 streams +
@@ -124,9 +125,10 @@ def fused_train_constraint_error(config, T: int) -> str | None:
            + KH * M * R * 2 + 4 * M * R * 2 + 2 * M * 2 * R * 2
            + 2 * (k * R * 2 * R + HA * 2 * R + R * S + R * R) * 2
            + 10 * M * 2 * R * 4)
-    # bwd high-water: per-layer f32 weight-grad blocks + tiles + dz ring
+    # bwd high-water: per-layer f32 weight-grad blocks + tiles + packed
+    # dz ring (bf16 pairs in int32)
     bwd = (2 * (k * R * 2 * R + HA * 2 * R + R * S + R * R) * (4 + 2)
-           + KH * M * 2 * R * 4
+           + KH * M * 2 * R * 2
            + (10 + 2 * k) * M * 2 * R * 4)
     if max(fwd, bwd) >= VMEM_BUDGET_BYTES:
         return (f"VMEM high-water {max(fwd, bwd) / 2**20:.0f} MiB exceeds "
@@ -595,17 +597,22 @@ def _bwd_pallas(config, lw, x0, streams, st, hb, dskip, interpret=False):
         ds = dg * t * s * (1.0 - s)
         dt = dg * s * (1.0 - t * t)
 
-        # dz ring (f32 — Mosaic's dynamic rotate needs 32-bit): slot
-        # m % KH holds tile m; tiles above the window read as zeros (the
-        # tail of the sequence has no future gradient)
+        # dz ring: slot m % KH holds tile m; tiles above the window read
+        # as zeros (the tail of the sequence has no future gradient).
+        # Every consumer of the ring casts to bf16, so the ring stores
+        # bf16 rows sublane-packed in pairs into int32 (Mosaic's dynamic
+        # rotate needs 32-bit data) exactly like the forward kernel's
+        # tap ring — halving the per-iteration rotate bytes, which were
+        # this kernel's largest non-matmul cost (4 MB/rotate f32 at the
+        # flagship shape, x1200 rotates/step).
         @pl.when(mi == 0)
         def _():
             dzring[...] = jnp.zeros_like(dzring)
 
-        dzslot = pl.multiple_of(_rem(m, KH) * M, M)
-        dzring[pl.ds(dzslot, M), : R] = ds
-        dzring[pl.ds(dzslot, M), R:] = dt
+        M2 = M // 2
         dz = jnp.concatenate([ds, dt], axis=1).astype(jnp.bfloat16)
+        dzring[pl.ds(pl.multiple_of(_rem(m, KH) * M2, M2), M2)] = (
+            pltpu.bitcast(dz, jnp.int32))
 
         # ---- weight grads: accumulate in-place in the output blocks ------
         first = (b == 0) & (mi == 0)
@@ -641,11 +648,21 @@ def _bwd_pallas(config, lw, x0, streams, st, hb, dskip, interpret=False):
                                   preferred_element_type=jnp.float32)
               + dout_bf.astype(jnp.float32))
         for j in range(k - 1):
-            # dz rows [m0 + shift, m0 + shift + M) from the ring
+            # dz rows [m0 + shift, m0 + shift + M) from the ring; rows
+            # are packed in sublane pairs (even row = low 16 bits), so
+            # one half-size rotate by ceil(n/2) recovers them — odd n
+            # takes each word's high half and its successor's low half
+            # (the forward kernel's recombine, lines ~327-341)
             n = _rem(
                 _rem(-(m0 + shift_ref[lr, j]), KH * M) + KH * M,
                 KH * M)
-            dzsh = pltpu.roll(dzring[...], n, 0)[:M].astype(jnp.bfloat16)
+            r1 = pltpu.roll(dzring[...], (n + 1) // 2, 0)
+            y_even = r1[:M2]
+            y_odd = jax.lax.bitwise_or(
+                jax.lax.shift_right_logical(r1[:M2], jnp.int32(16)),
+                jax.lax.shift_left(r1[1:M2 + 1], jnp.int32(16)))
+            dzsh = pltpu.bitcast(
+                jnp.where(_rem(n, 2) == 1, y_odd, y_even), jnp.bfloat16)
             acc(ddil_o, (0, j), jax.lax.dot_general(
                 x_t, dzsh, rows, preferred_element_type=jnp.float32))
             dx = dx + jax.lax.dot_general(
@@ -733,7 +750,7 @@ def _bwd_pallas(config, lw, x0, streams, st, hb, dskip, interpret=False):
             pltpu.VMEM((2, M, R), jnp.bfloat16),        # x_tile
             pltpu.VMEM((2, M, 2 * R), jnp.bfloat16),    # st_tile
             pltpu.VMEM((2, M, R), jnp.bfloat16),        # dout_tile
-            pltpu.VMEM((KH * M, 2 * R), jnp.float32),   # dz ring
+            pltpu.VMEM((KH * M // 2, 2 * R), jnp.int32),  # packed dz ring
             pltpu.VMEM((2, M, R), jnp.bfloat16),        # dx_stage
             pltpu.VMEM((2, M, HA), jnp.bfloat16),       # dh_stage
             pltpu.SemaphoreType.DMA((2, 3)),            # in_sems
