@@ -90,7 +90,9 @@ def main():
                                 "sampling", key)
 
     # compile + warm caches (bf16 warm-up: the pallas kernel consumes
-    # the rings in bf16 anyway; ~18% faster fleet warm-up)
+    # the rings in bf16 anyway; ~18% faster fleet warm-up).  The int8
+    # kernel consumes RAW (unprojected) rings — its carry is warmed
+    # separately (and is what a production int8 fleet would build).
     wb = bool(use_pallas)
     t0 = time.time()
     carry = _warmup_state(params, config, xj, hj, bf16_intermediates=wb)
@@ -98,13 +100,21 @@ def main():
     t_warm_compile = time.time() - t0
     np.asarray(decode_fn(carry, jax.random.PRNGKey(0)))
     scales = calibrate_act_scales(params, config, xj, hj) if use_int8 else None
+    carry_q = None
     if use_int8:
-        np.asarray(decode_fn(carry, jax.random.PRNGKey(0), True, scales))
+        carry_q = _warmup_state(params, config, xj, hj,
+                                bf16_intermediates=wb, project=False)
+        np.asarray(decode_fn(carry_q, jax.random.PRNGKey(0), True, scales))
 
-    # warm-up cost (cached executable)
+    # warm-up cost (cached executable; the headline path's carry)
     t0 = time.time()
-    carry = _warmup_state(params, config, xj, hj, bf16_intermediates=wb)
-    jax.block_until_ready(carry)
+    if use_int8:
+        carry_q = _warmup_state(params, config, xj, hj,
+                                bf16_intermediates=wb, project=False)
+        jax.block_until_ready(carry_q)
+    else:
+        carry = _warmup_state(params, config, xj, hj, bf16_intermediates=wb)
+        jax.block_until_ready(carry)
     warmup_s = time.time() - t0
 
     # steady state, best of N with distinct keys (the axon runtime
@@ -122,7 +132,7 @@ def main():
             times_bf16.append(time.time() - t0)
             if use_int8:
                 t0 = time.time()
-                np.asarray(decode_fn(carry, jax.random.PRNGKey(k), True,
+                np.asarray(decode_fn(carry_q, jax.random.PRNGKey(k), True,
                                      scales))
                 times.append(time.time() - t0)
 
@@ -246,6 +256,56 @@ def main():
             "detail": train_detail,
         }))
         del state
+
+    # ---- end-to-end fleet RTF at realistic utterance length ------------
+    # The headline above times the steady-state scan only; this metric
+    # answers "what does a production decode fleet actually deliver":
+    # ONE wall-clock around the full batch_fast_generate chain — aux
+    # upsampling, int8 calibration, ring warm-up, aux staging, the AR
+    # scan, device->host copy — plus the host mu-law inverse, at a
+    # 3-second (48k-sample) eval utterance per fleet slot.
+    e2e_detail = {}
+    if os.environ.get("BENCH_E2E", "1") == "1":
+        from pytorchwavenetvocoder_tpu.models.wavenet import (
+            batch_fast_generate,
+        )
+        from pytorchwavenetvocoder_tpu.ops.mulaw import decode_mu_law
+
+        n_e2e = int(os.environ.get("BENCH_E2E_SAMPLES", "48000"))
+        n_fr = (config.receptive_field + n_e2e) // 80 + 2
+        h2 = rng.randn(B, n_fr, 28).astype(np.float32)
+        x2 = np.full((B, 1), 128, np.int32)
+        lens = [n_e2e] * B
+        impl2 = "pallas" if use_pallas else "scan"
+
+        def e2e_once(seed):
+            t0 = time.time()
+            outs = batch_fast_generate(
+                params, config, x2, h2, lens, "sampling",
+                jax.random.PRNGKey(seed), impl=impl2, quantize=use_int8)
+            wavs = [decode_mu_law(s, config.n_quantize) for s in outs]
+            dt = time.time() - t0
+            assert len(wavs) == B and len(wavs[0]) == n_e2e
+            return dt
+
+        e2e_once(0)  # compile
+        e2e_s = min(e2e_once(s) for s in (1, 2))
+        e2e_sps = B * n_e2e / e2e_s
+        e2e_detail = {
+            "batch": B, "n_samples": n_e2e,
+            "wall_seconds": round(e2e_s, 3),
+            "impl": ("pallas-int8" if use_int8 else impl2),
+            "includes": "upsample+calibration+warmup+staging+scan"
+                        "+host_copy+mulaw_decode",
+        }
+        print(json.dumps({
+            "metric": "e2e_fleet_decode_samples_per_sec_per_chip",
+            "value": round(e2e_sps, 1),
+            "unit": "samples/s",
+            "vs_baseline": round(e2e_sps / 1.6e6, 4),
+            "detail": dict(e2e_detail,
+                           realtime_x_16k=round(e2e_sps / 16000.0, 2)),
+        }))
 
     total_samples = B * n_samples
     sps = total_samples / elapsed

@@ -497,10 +497,12 @@ def _buffer_layout(config: WaveNetConfig):
     return caps, [int(o) for o in offsets], total
 
 
-@partial(jax.jit, static_argnames=("config", "bf16_intermediates"))
+@partial(jax.jit, static_argnames=("config", "bf16_intermediates",
+                                   "project"))
 def _warmup_state(params: Params, config: WaveNetConfig,
                   x: jnp.ndarray, h_up: jnp.ndarray,
-                  bf16_intermediates: bool = False):
+                  bf16_intermediates: bool = False,
+                  project: bool | None = None):
     """Run the teacher-forced forward over the seed region and pack the
     AR carry (ring buffers + sample history) for the scan decoder.
 
@@ -514,6 +516,13 @@ def _warmup_state(params: Params, config: WaveNetConfig,
     activation.  The projection runs at WRITE time fused with the
     current-tap matmul, so the per-sample read becomes a pure add — one
     double-width matmul per layer instead of two dependent ones.
+
+    ``project=False`` keeps the RAW (B, R) activations in the ring even
+    for kernel_size 2: the format the int8 Pallas decoder consumes (it
+    re-quantizes ring values with its static per-layer scales and runs
+    the past-tap matmul on the int8 MXU at read time; see
+    ops/ar_kernel.py).  ``None`` = project when kernel_size == 2 (the
+    scan decoder's format).
     """
     c = config
     B, T0 = x.shape
@@ -524,7 +533,7 @@ def _warmup_state(params: Params, config: WaveNetConfig,
     buf_dt = dt if dt == jnp.bfloat16 else c.acc_dtype
     caps, offsets, total_cap = _buffer_layout(c)
 
-    proj_fwd = (k == 2)
+    proj_fwd = (k == 2) if project is None else (project and k == 2)
     dil_w_past = params["dil"]["w"][:, 0].astype(dt) if proj_fwd else None
 
     # bf16 mode on TPU: run the teacher-forced forward through the fused
@@ -913,12 +922,34 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
                       if quantize else None)
         wb = (config.dtype == jnp.bfloat16 if warmup_bf16 is None
               else warmup_bf16)
-        carry = _warmup_state(params, config, x, h, bf16_intermediates=wb)
+        # int8 decode consumes RAW rings (it re-quantizes them under its
+        # static per-layer scales; see ops/ar_kernel.py)
+        carry = _warmup_state(params, config, x, h, bf16_intermediates=wb,
+                              project=not quantize)
         if mesh is None:
-            samples = pallas_ar_generate(params, config, carry, h,
-                                         x.shape[1], max_n, mode, rng,
-                                         quantize=quantize,
-                                         act_scales=act_scales)
+            from pytorchwavenetvocoder_tpu.ops.ar_kernel import (
+                stage_aux,
+                staged_aux_rows,
+            )
+
+            # the kernel's internal aux staging materializes ~2x the
+            # (T, B, 128) bf16 stream as XLA temporaries; above ~1.5 GB
+            # of that, stage in bounded chunks instead (huge fleets /
+            # long utterances would otherwise OOM the chip)
+            need_T = x.shape[1] + max_n
+            rows = staged_aux_rows(config)
+            if 2 * need_T * x.shape[0] * rows * 2 > 1_500_000_000:
+                h_staged = stage_aux(h[:, :need_T], rows)
+                samples = pallas_ar_generate(params, config, carry,
+                                             h_staged, x.shape[1], max_n,
+                                             mode, rng, quantize=quantize,
+                                             act_scales=act_scales,
+                                             prestaged=True)
+            else:
+                samples = pallas_ar_generate(params, config, carry, h,
+                                             x.shape[1], max_n, mode, rng,
+                                             quantize=quantize,
+                                             act_scales=act_scales)
         else:
             samples = pallas_mesh_generate(params, config, carry, h,
                                            x.shape[1], max_n, mode, rng,

@@ -31,7 +31,13 @@ kernel runs the WHOLE sample loop on-core:
   sign-bit-masked uniforms) all happen in-kernel;
 - opt-in **int8 MXU** path (``quantize=True``): per-output-channel
   weight scales + per-layer static activation scales calibrated from
-  the warmup forward; ~1.35x decode throughput at equal MCD.
+  the warmup forward.  Rings store the RAW activations as int8 — the
+  exact xq the current-tap matmul already quantizes, staged for free —
+  so ring HBM traffic drops 4x vs the bf16 projected rings and the
+  past-tap matmul feeds the int8 MXU directly at read time
+  (bit-identical to write-time projection, since both run the same
+  int8 operands through the same int8 weight columns).  Requires a
+  raw-format carry: ``_warmup_state(..., project=False)``.
 
 Restrictions: kernel_size in (2, 3), channel counts multiples of 128,
 n_quantize 256.  Other configurations use the lax.scan path.
@@ -125,10 +131,14 @@ def weights_resident(config, B: int, quantize: bool = False) -> bool:
     R, S, L = c.n_resch, c.n_skipch, c.n_layers
     W = c.kernel_size * 2 * R + S + R
     pack = L * R * W * (1 if quantize else 2)
-    # kernel_size 2 rings are projection-forwarded: staging rows are
-    # (B, 2R) instead of (k-1) x (B, R)
-    tap_rows = 2 * R if c.kernel_size == 2 else (c.kernel_size - 1) * R
-    working = (L * B * tap_rows * 2   # tap staging
+    # bf16 kernel_size 2 rings are projection-forwarded: staging rows
+    # are (B, 2R) bf16; int8 rings are raw (k-1) x (B, R) int8
+    if quantize:
+        tap_bytes = max(c.kernel_size - 1, 1) * R * 1
+    else:
+        tap_bytes = (2 * R if c.kernel_size == 2
+                     else (c.kernel_size - 1) * R) * 2
+    working = (L * B * tap_bytes      # tap staging
                + L * 32 * 2 * R * 2  # aux pack
                + B * R * 8           # residual/gate temporaries
                + 8 * 1024 * 1024)    # stack headroom
@@ -221,11 +231,15 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         bf16 rate).  Weights use per-output-channel scales; activations
         use STATIC per-layer scales calibrated from the teacher-forced
         warmup region (gate activations are bounded by sigmoid*tanh, so
-        their scale is exactly 1).  Opt-in: measured ~1.35x decode
-        throughput at B=256 with a small logit error — fidelity-check
-        with eval/mcd before production use (a per-row dynamic-scale
-        variant was measured SLOWER than bf16: the VPU max-reduce per
-        activation outweighed the MXU gain).
+        their scale is exactly 1).  Rings are stored as RAW int8
+        activations (the carry must come from
+        ``_warmup_state(project=False)``) — 4x less ring HBM traffic
+        than the bf16 projected rings at zero extra VPU cost, since the
+        staged value is the xq the current-tap matmul already computes.
+        Opt-in: small logit error — fidelity-check with eval/mcd before
+        production use (a per-row dynamic-scale variant was measured
+        SLOWER than bf16: the VPU max-reduce per activation outweighed
+        the MXU gain).
     Returns:
       (B, max_n) int32 samples.
     """
@@ -240,12 +254,31 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
     offsets = [int(o) for o in offsets]
     W = k * 2 * R + S + R
     resident = weights_resident(c, B, quantize)
-    # kernel_size 2: projection-forwarded rings — slots hold the (B, 2R)
-    # gate contribution out_l(p) @ w_past_l (computed at write time fused
-    # with the current-tap matmul into one (B,R)@(R,4R) op); the read
-    # side is then a pure add.  _warmup_state packs the ring this way.
-    proj_fwd = (k == 2)
+    # bf16 kernel_size 2: projection-forwarded rings — slots hold the
+    # (B, 2R) gate contribution out_l(p) @ w_past_l (computed at write
+    # time fused with the current-tap matmul into one (B,R)@(R,4R) op);
+    # the read side is then a pure add.  _warmup_state packs the ring
+    # this way by default.
+    #
+    # int8 (quantize=True, any k): rings hold the RAW activations as
+    # int8 — exactly the xq the current-tap qdot already computes, so
+    # staging costs zero extra VPU work — and the past-tap matmul runs
+    # on the int8 MXU at read time (qdot_pre).  For k == 2 this is
+    # BIT-IDENTICAL to projecting at write time (same xq, same int8
+    # weight columns, same scales) while moving 4x fewer ring bytes
+    # (R int8 vs 2R bf16 per row; the rings are the kernel's dominant
+    # HBM traffic, ~43 us/step of the 140 at B=256) and halving the
+    # dependent-chain matmul ((B,R)@(R,2R) instead of (R,4R) — the
+    # past-tap read matmul is independent and hoists into z_indep).
+    # _warmup_state(project=False) provides the raw-format carry.
+    proj_fwd = (k == 2) and not quantize
     RW = 2 * R if proj_fwd else R  # ring row width
+    ring_dt = jnp.int8 if quantize else jnp.bfloat16
+    if quantize and act_buf.shape[-1] != R:
+        raise ValueError(
+            "quantize=True consumes RAW (B, R) rings; warm up with "
+            "_warmup_state(..., project=False) (got ring width "
+            f"{act_buf.shape[-1]}, expected {R})")
 
     # ---- dilation-grouped ring layout ----------------------------------
     # The dilation cycle repeats `G` times; all G layers sharing a
@@ -266,6 +299,20 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
     gbases = [0]
     for g in range(depth - 1):
         gbases.append(gbases[-1] + gcaps[g] * G)
+
+    if act_scales is None:
+        act_scales = jnp.full((L, 1), 0.05, jnp.float32)  # quantize=False
+    act_scales = act_scales.astype(jnp.float32).reshape(L, 1)
+
+    if quantize:
+        # fill the ring with int8 xq values under each layer's static
+        # scale — the same quantization the kernel's write side applies,
+        # so warm-up-filled and kernel-written slots are indistinguishable
+        lidx = jnp.asarray(np.repeat(np.arange(L), caps))   # (total_cap,)
+        s = act_scales[lidx, 0][:, None, None]
+        act_buf = jnp.clip(
+            jnp.round(act_buf.astype(jnp.float32) / s), -127, 127
+        ).astype(jnp.int8)
 
     if G > 1:
         parts = []
@@ -289,7 +336,7 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
     # DMA waits.  Kept behind _WN_AR_AUX_ONEMM=1 for re-evaluation.
     aux_pack_bytes = L * R * W * (1 if quantize else 2)
     aux_buf_bytes = B * L * 2 * R * 2
-    tap_bytes = L * (k - 1) * B * RW * 2
+    tap_bytes = L * (k - 1) * B * RW * (1 if quantize else 2)
     aux_onemm = bool(quantize and resident
                      and (aux_pack_bytes + aux_buf_bytes + tap_bytes
                           + 16 * 1024 * 1024) < VMEM_BUDGET_BYTES
@@ -329,7 +376,8 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
             jnp.transpose(h_up[:, : T0 + max_n, :], (1, 0, 2))
             .astype(jnp.bfloat16))
 
-    act_buf = act_buf.astype(jnp.bfloat16)
+    if not quantize:
+        act_buf = act_buf.astype(jnp.bfloat16)
     # ids at lags k-1 .. 0, oldest first
     prev_init = jnp.concatenate([sample_hist, prev[:, None]],
                                 axis=1).astype(jnp.int32)
@@ -341,10 +389,6 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         seed = jax.random.randint(rng, (1, 1), 0, np.int32(2**31 - 1), jnp.int32)
     else:
         seed = jnp.zeros((1, 1), jnp.int32)
-
-    if act_scales is None:
-        act_scales = jnp.full((L, 1), 0.05, jnp.float32)  # quantize=False
-    act_scales = act_scales.astype(jnp.float32).reshape(L, 1)
 
     def kernel(seed_ref, ascale_ref,              # SMEM
                wpack_ref, wscale_ref, h_ref, actbuf_in_ref,
@@ -374,18 +418,26 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                 return wpack_ref[l, :, lo:hi]
             return w_buf[l % 2, :, lo:hi]
 
-        def qdot(x_f32, l, lo, hi, sx):
-            """int8 MXU matmul with a STATIC activation scale ``sx`` (a
-            scalar: calibrated per layer for the residual stream, exactly
-            1/127 for the bounded gate activations).  A per-row dynamic
-            max-reduce here was measured to cost more VPU time than the
-            int8 MXU saves."""
-            xq = jnp.clip(jnp.round(x_f32 * (1.0 / sx)), -127, 127
-                          ).astype(jnp.int8)
+        def qdot_pre(xq, l, lo, hi, sx):
+            """int8 MXU matmul on an ALREADY-quantized input (the ring
+            taps are stored as int8 under the same static scale, so no
+            VPU round/clip is paid at read time)."""
             acc = jnp.dot(xq, w_cols(l, lo, hi),
                           preferred_element_type=jnp.int32)
             return (acc.astype(jnp.float32)
                     * (sx * wscale_ref[l, lo:hi])[None, :])
+
+        def quant(x_f32, sx):
+            """Quantize to int8 under a STATIC activation scale ``sx`` (a
+            scalar: calibrated per layer for the residual stream, exactly
+            1/127 for the bounded gate activations).  A per-row dynamic
+            max-reduce here was measured to cost more VPU time than the
+            int8 MXU saves."""
+            return jnp.clip(jnp.round(x_f32 * (1.0 / sx)), -127, 127
+                            ).astype(jnp.int8)
+
+        def qdot(x_f32, l, lo, hi, sx):
+            return qdot_pre(quant(x_f32, sx), l, lo, hi, sx)
 
         def tap_read_dma(g, j, slot):
             # lag j*d taps of ALL G layers in dilation-group g land in
@@ -503,12 +555,14 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                 # the ring already holds the projected contribution
                 zp = tap_row(1).astype(jnp.float32)
             elif quantize:
-                zp = qdot(tap_row(1).astype(jnp.float32), l, 2 * R, 4 * R,
-                          ascale_ref[l, 0])
+                # taps are stored int8 under this layer's static scale:
+                # feed the MXU directly, no read-side quantization
+                zp = qdot_pre(tap_row(1), l, 2 * R, 4 * R,
+                              ascale_ref[l, 0])
                 for j in range(2, k):
-                    zp = zp + qdot(tap_row(j).astype(jnp.float32),
-                                   l, j * 2 * R, (j + 1) * 2 * R,
-                                   ascale_ref[l, 0])
+                    zp = zp + qdot_pre(tap_row(j),
+                                       l, j * 2 * R, (j + 1) * 2 * R,
+                                       ascale_ref[l, 0])
             else:
                 zp = jnp.dot(tap_row(1), w_cols(l, 2 * R, 4 * R),
                              preferred_element_type=jnp.float32)
@@ -539,22 +593,21 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                 zp_l = z_indep(l) if zp_next is None else zp_next
 
             out_bf = out_buf[:].astype(jnp.bfloat16)
+            xq_out = None
             if proj_fwd and not _DEBUG_NOTAP:
                 # ONE double-width matmul computes this layer's current-
                 # tap term AND the projected contribution for step p + d
-                if quantize:
-                    zfull = qdot(out_buf[:], l, 0, 4 * R, ascale_ref[l, 0])
-                else:
-                    zfull = jnp.dot(out_bf, w_cols(l, 0, 4 * R),
-                                    preferred_element_type=jnp.float32)
+                zfull = jnp.dot(out_bf, w_cols(l, 0, 4 * R),
+                                preferred_element_type=jnp.float32)
                 z = zfull[:, : 2 * R] + zp_l
+            elif quantize:
+                # the quantized input is both the matmul operand and the
+                # ring value staged for future taps (zero extra VPU work)
+                xq_out = quant(out_buf[:], ascale_ref[l, 0])
+                z = qdot_pre(xq_out, l, 0, 2 * R, ascale_ref[l, 0]) + zp_l
             else:
-                if quantize:
-                    z = qdot(out_buf[:], l, 0, 2 * R,
-                             ascale_ref[l, 0]) + zp_l
-                else:
-                    z = jnp.dot(out_bf, w_cols(l, 0, 2 * R),
-                                preferred_element_type=jnp.float32) + zp_l
+                z = jnp.dot(out_bf, w_cols(l, 0, 2 * R),
+                            preferred_element_type=jnp.float32) + zp_l
 
             if resident and l + 1 < L:
                 zp_next = z_indep(l + 1)  # MXU work issued before the VPU gate
@@ -571,7 +624,8 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
             if not _DEBUG_NOTAP:
                 grp, rep = l % depth, l // depth
                 staged = (zfull[:, 2 * R:].astype(jnp.bfloat16)
-                          if proj_fwd else out_bf)
+                          if proj_fwd else
+                          xq_out if quantize else out_bf)
                 tap_buf[(grp * (k - 1) + (k - 2)) * G + rep] = staged
                 if rep == G - 1:
                     tap_write_dma(grp, wslots[grp]).start()
@@ -658,7 +712,7 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
     total_cap = act_buf.shape[0]
 
     pack_dt = jnp.int8 if quantize else jnp.bfloat16
-    scratch_shapes = [pltpu.VMEM((L * (k - 1), B, RW), jnp.bfloat16)]  # tap_buf
+    scratch_shapes = [pltpu.VMEM((L * (k - 1), B, RW), ring_dt)]  # tap_buf
     scratch_shapes.append(pltpu.VMEM(
         (B, L * 2 * R) if aux_onemm else (8, 128), jnp.bfloat16))  # aux_buf
     if not resident:
@@ -724,7 +778,7 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((max_n_pad, B_pad), jnp.int32),
-            jax.ShapeDtypeStruct((total_cap, B, RW), jnp.bfloat16),
+            jax.ShapeDtypeStruct((total_cap, B, RW), ring_dt),
         ],
         input_output_aliases={5: 1},
         compiler_params=pltpu.CompilerParams(

@@ -64,7 +64,7 @@ def main():
     from pytorchwavenetvocoder_tpu.ops.ar_kernel import calibrate_act_scales
 
     scales = calibrate_act_scales(params, config, xj, hj) if quantize else None
-    carry = _warmup_state(params, config, xj, hj)
+    carry = _warmup_state(params, config, xj, hj, project=not quantize)
     jax.block_until_ready(carry)
 
     t0 = time.time()
