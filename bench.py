@@ -90,9 +90,7 @@ def main():
                                 "sampling", key)
 
     # compile + warm caches (bf16 warm-up: the pallas kernel consumes
-    # the rings in bf16 anyway; ~18% faster fleet warm-up).  The int8
-    # kernel consumes RAW (unprojected) rings — its carry is warmed
-    # separately (and is what a production int8 fleet would build).
+    # the rings in bf16 anyway; ~18% faster fleet warm-up)
     wb = bool(use_pallas)
     t0 = time.time()
     carry = _warmup_state(params, config, xj, hj, bf16_intermediates=wb)
@@ -100,21 +98,13 @@ def main():
     t_warm_compile = time.time() - t0
     np.asarray(decode_fn(carry, jax.random.PRNGKey(0)))
     scales = calibrate_act_scales(params, config, xj, hj) if use_int8 else None
-    carry_q = None
     if use_int8:
-        carry_q = _warmup_state(params, config, xj, hj,
-                                bf16_intermediates=wb, project=False)
-        np.asarray(decode_fn(carry_q, jax.random.PRNGKey(0), True, scales))
+        np.asarray(decode_fn(carry, jax.random.PRNGKey(0), True, scales))
 
-    # warm-up cost (cached executable; the headline path's carry)
+    # warm-up cost (cached executable)
     t0 = time.time()
-    if use_int8:
-        carry_q = _warmup_state(params, config, xj, hj,
-                                bf16_intermediates=wb, project=False)
-        jax.block_until_ready(carry_q)
-    else:
-        carry = _warmup_state(params, config, xj, hj, bf16_intermediates=wb)
-        jax.block_until_ready(carry)
+    carry = _warmup_state(params, config, xj, hj, bf16_intermediates=wb)
+    jax.block_until_ready(carry)
     warmup_s = time.time() - t0
 
     # steady state, best of N with distinct keys (the axon runtime
@@ -132,7 +122,7 @@ def main():
             times_bf16.append(time.time() - t0)
             if use_int8:
                 t0 = time.time()
-                np.asarray(decode_fn(carry_q, jax.random.PRNGKey(k), True,
+                np.asarray(decode_fn(carry, jax.random.PRNGKey(k), True,
                                      scales))
                 times.append(time.time() - t0)
 

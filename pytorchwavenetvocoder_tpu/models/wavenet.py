@@ -497,12 +497,10 @@ def _buffer_layout(config: WaveNetConfig):
     return caps, [int(o) for o in offsets], total
 
 
-@partial(jax.jit, static_argnames=("config", "bf16_intermediates",
-                                   "project"))
+@partial(jax.jit, static_argnames=("config", "bf16_intermediates"))
 def _warmup_state(params: Params, config: WaveNetConfig,
                   x: jnp.ndarray, h_up: jnp.ndarray,
-                  bf16_intermediates: bool = False,
-                  project: bool | None = None):
+                  bf16_intermediates: bool = False):
     """Run the teacher-forced forward over the seed region and pack the
     AR carry (ring buffers + sample history) for the scan decoder.
 
@@ -516,13 +514,9 @@ def _warmup_state(params: Params, config: WaveNetConfig,
     activation.  The projection runs at WRITE time fused with the
     current-tap matmul, so the per-sample read becomes a pure add — one
     double-width matmul per layer instead of two dependent ones.
-
-    ``project=False`` keeps the RAW (B, R) activations in the ring even
-    for kernel_size 2: the format the int8 Pallas decoder consumes (it
-    re-quantizes ring values with its static per-layer scales and runs
-    the past-tap matmul on the int8 MXU at read time; see
-    ops/ar_kernel.py).  ``None`` = project when kernel_size == 2 (the
-    scan decoder's format).
+    (kernel_size > 2 rings hold the raw activations; the int8 Pallas
+    decoder re-quantizes them under its static per-layer scales at
+    launch — see ops/ar_kernel.py.)
     """
     c = config
     B, T0 = x.shape
@@ -533,7 +527,7 @@ def _warmup_state(params: Params, config: WaveNetConfig,
     buf_dt = dt if dt == jnp.bfloat16 else c.acc_dtype
     caps, offsets, total_cap = _buffer_layout(c)
 
-    proj_fwd = (k == 2) if project is None else (project and k == 2)
+    proj_fwd = (k == 2)
     dil_w_past = params["dil"]["w"][:, 0].astype(dt) if proj_fwd else None
 
     # bf16 mode on TPU: run the teacher-forced forward through the fused
@@ -922,10 +916,7 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
                       if quantize else None)
         wb = (config.dtype == jnp.bfloat16 if warmup_bf16 is None
               else warmup_bf16)
-        # int8 decode consumes RAW rings (it re-quantizes them under its
-        # static per-layer scales; see ops/ar_kernel.py)
-        carry = _warmup_state(params, config, x, h, bf16_intermediates=wb,
-                              project=not quantize)
+        carry = _warmup_state(params, config, x, h, bf16_intermediates=wb)
         if mesh is None:
             from pytorchwavenetvocoder_tpu.ops.ar_kernel import (
                 stage_aux,

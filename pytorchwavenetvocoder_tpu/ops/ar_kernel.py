@@ -31,13 +31,11 @@ kernel runs the WHOLE sample loop on-core:
   sign-bit-masked uniforms) all happen in-kernel;
 - opt-in **int8 MXU** path (``quantize=True``): per-output-channel
   weight scales + per-layer static activation scales calibrated from
-  the warmup forward.  Rings store the RAW activations as int8 — the
-  exact xq the current-tap matmul already quantizes, staged for free —
-  so ring HBM traffic drops 4x vs the bf16 projected rings and the
-  past-tap matmul feeds the int8 MXU directly at read time
-  (bit-identical to write-time projection, since both run the same
-  int8 operands through the same int8 weight columns).  Requires a
-  raw-format carry: ``_warmup_state(..., project=False)``.
+  the warmup forward.  ~1.35x decode throughput at equal MCD; for
+  kernel_size > 2 the raw rings are additionally stored as int8 (the
+  exact xq the current-tap matmul already quantizes, staged for free),
+  halving ring HBM bytes and dropping the read-side quantization —
+  measured 1.23M -> 1.57M samples/s on the ljspeech kernel-3 flagship.
 
 Restrictions: kernel_size in (2, 3), channel counts multiples of 128,
 n_quantize 256.  Other configurations use the lax.scan path.
@@ -131,13 +129,13 @@ def weights_resident(config, B: int, quantize: bool = False) -> bool:
     R, S, L = c.n_resch, c.n_skipch, c.n_layers
     W = c.kernel_size * 2 * R + S + R
     pack = L * R * W * (1 if quantize else 2)
-    # bf16 kernel_size 2 rings are projection-forwarded: staging rows
-    # are (B, 2R) bf16; int8 rings are raw (k-1) x (B, R) int8
-    if quantize:
-        tap_bytes = max(c.kernel_size - 1, 1) * R * 1
+    # kernel_size 2 rings are projection-forwarded: staging rows are
+    # (B, 2R) bf16; k > 2 rings are raw (k-1) x (B, R) rows — int8
+    # under quantization (see raw_int8_rings), bf16 otherwise
+    if c.kernel_size == 2:
+        tap_bytes = 2 * R * 2
     else:
-        tap_bytes = (2 * R if c.kernel_size == 2
-                     else (c.kernel_size - 1) * R) * 2
+        tap_bytes = (c.kernel_size - 1) * R * (1 if quantize else 2)
     working = (L * B * tap_bytes      # tap staging
                + L * 32 * 2 * R * 2  # aux pack
                + B * R * 8           # residual/gate temporaries
@@ -231,11 +229,11 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         bf16 rate).  Weights use per-output-channel scales; activations
         use STATIC per-layer scales calibrated from the teacher-forced
         warmup region (gate activations are bounded by sigmoid*tanh, so
-        their scale is exactly 1).  Rings are stored as RAW int8
-        activations (the carry must come from
-        ``_warmup_state(project=False)``) — 4x less ring HBM traffic
-        than the bf16 projected rings at zero extra VPU cost, since the
-        staged value is the xq the current-tap matmul already computes.
+        their scale is exactly 1).  For kernel_size > 2 the raw rings
+        are stored as int8 — half the ring HBM traffic and no read-side
+        quantization, since the staged value is the xq the current-tap
+        matmul already computes (kernel_size 2 keeps the measured-faster
+        projection-forwarded bf16 rings; see the proj_fwd comment).
         Opt-in: small logit error — fidelity-check with eval/mcd before
         production use (a per-row dynamic-scale variant was measured
         SLOWER than bf16: the VPU max-reduce per activation outweighed
@@ -254,31 +252,32 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
     offsets = [int(o) for o in offsets]
     W = k * 2 * R + S + R
     resident = weights_resident(c, B, quantize)
-    # bf16 kernel_size 2: projection-forwarded rings — slots hold the
-    # (B, 2R) gate contribution out_l(p) @ w_past_l (computed at write
-    # time fused with the current-tap matmul into one (B,R)@(R,4R) op);
-    # the read side is then a pure add.  _warmup_state packs the ring
-    # this way by default.
+    # kernel_size 2: projection-forwarded rings — slots hold the (B, 2R)
+    # gate contribution out_l(p) @ w_past_l (computed at write time
+    # fused with the current-tap matmul into one (B,R)@(R,4R) op — int8
+    # under quantization); the read side is then a pure add.
+    # _warmup_state packs the ring this way.
     #
-    # int8 (quantize=True, any k): rings hold the RAW activations as
+    # kernel_size > 2 with quantize=True: the raw rings are stored as
     # int8 — exactly the xq the current-tap qdot already computes, so
-    # staging costs zero extra VPU work — and the past-tap matmul runs
-    # on the int8 MXU at read time (qdot_pre).  For k == 2 this is
-    # BIT-IDENTICAL to projecting at write time (same xq, same int8
-    # weight columns, same scales) while moving 4x fewer ring bytes
-    # (R int8 vs 2R bf16 per row; the rings are the kernel's dominant
-    # HBM traffic, ~43 us/step of the 140 at B=256) and halving the
-    # dependent-chain matmul ((B,R)@(R,2R) instead of (R,4R) — the
-    # past-tap read matmul is independent and hoists into z_indep).
-    # _warmup_state(project=False) provides the raw-format carry.
-    proj_fwd = (k == 2) and not quantize
+    # staging costs zero extra VPU work — and the lagged-tap matmuls
+    # (which exist regardless for k > 2) feed the int8 MXU directly at
+    # read time (qdot_pre), dropping both the read-side VPU
+    # quantization and half the ring HBM bytes.  Measured on the
+    # ljspeech kernel-3 flagship: 1.23M -> 1.57M samples/s at B=256.
+    # (Raw int8 rings at k == 2 were also measured: they ADD a read
+    # matmul the projected scheme doesn't have, and at B=512 the extra
+    # MXU work costs more than the ring bytes save — 1.94M -> 1.53M —
+    # so k == 2 keeps projection forwarding.)
+    proj_fwd = (k == 2)
+    raw_int8 = quantize and not proj_fwd
     RW = 2 * R if proj_fwd else R  # ring row width
-    ring_dt = jnp.int8 if quantize else jnp.bfloat16
-    if quantize and act_buf.shape[-1] != R:
+    ring_dt = jnp.int8 if raw_int8 else jnp.bfloat16
+    if act_buf.shape[-1] != RW:
         raise ValueError(
-            "quantize=True consumes RAW (B, R) rings; warm up with "
-            "_warmup_state(..., project=False) (got ring width "
-            f"{act_buf.shape[-1]}, expected {R})")
+            f"kernel_size {k} consumes {'projected (B, 2R)' if proj_fwd else 'raw (B, R)'} "
+            f"rings from _warmup_state (got ring width {act_buf.shape[-1]}, "
+            f"expected {RW})")
 
     # ---- dilation-grouped ring layout ----------------------------------
     # The dilation cycle repeats `G` times; all G layers sharing a
@@ -304,7 +303,7 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
         act_scales = jnp.full((L, 1), 0.05, jnp.float32)  # quantize=False
     act_scales = act_scales.astype(jnp.float32).reshape(L, 1)
 
-    if quantize:
+    if raw_int8:
         # fill the ring with int8 xq values under each layer's static
         # scale — the same quantization the kernel's write side applies,
         # so warm-up-filled and kernel-written slots are indistinguishable
@@ -336,7 +335,7 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
     # DMA waits.  Kept behind _WN_AR_AUX_ONEMM=1 for re-evaluation.
     aux_pack_bytes = L * R * W * (1 if quantize else 2)
     aux_buf_bytes = B * L * 2 * R * 2
-    tap_bytes = L * (k - 1) * B * RW * (1 if quantize else 2)
+    tap_bytes = L * (k - 1) * B * RW * (1 if raw_int8 else 2)
     aux_onemm = bool(quantize and resident
                      and (aux_pack_bytes + aux_buf_bytes + tap_bytes
                           + 16 * 1024 * 1024) < VMEM_BUDGET_BYTES
@@ -376,7 +375,7 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
             jnp.transpose(h_up[:, : T0 + max_n, :], (1, 0, 2))
             .astype(jnp.bfloat16))
 
-    if not quantize:
+    if not raw_int8:
         act_buf = act_buf.astype(jnp.bfloat16)
     # ids at lags k-1 .. 0, oldest first
     prev_init = jnp.concatenate([sample_hist, prev[:, None]],
@@ -597,8 +596,11 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
             if proj_fwd and not _DEBUG_NOTAP:
                 # ONE double-width matmul computes this layer's current-
                 # tap term AND the projected contribution for step p + d
-                zfull = jnp.dot(out_bf, w_cols(l, 0, 4 * R),
-                                preferred_element_type=jnp.float32)
+                if quantize:
+                    zfull = qdot(out_buf[:], l, 0, 4 * R, ascale_ref[l, 0])
+                else:
+                    zfull = jnp.dot(out_bf, w_cols(l, 0, 4 * R),
+                                    preferred_element_type=jnp.float32)
                 z = zfull[:, : 2 * R] + zp_l
             elif quantize:
                 # the quantized input is both the matmul operand and the

@@ -41,17 +41,25 @@ def main():
     mode = sys.argv[2] if len(sys.argv) > 2 else "sampling"
     n_samples = int(sys.argv[3]) if len(sys.argv) > 3 else 4000
     quantize = len(sys.argv) > 4 and sys.argv[4] == "int8"
+    shape = sys.argv[5] if len(sys.argv) > 5 else "arctic"
 
-    config = WaveNetConfig(
-        n_quantize=256, n_aux=28, n_resch=512, n_skipch=256,
-        dilation_depth=10, dilation_repeat=3, kernel_size=2,
-        upsampling_factor=80, compute_dtype="bfloat16")
+    if shape == "ljspeech":  # kernel-3 operating point (egs/ljspeech/sd)
+        config = WaveNetConfig(
+            n_quantize=256, n_aux=39, n_resch=512, n_skipch=256,
+            dilation_depth=10, dilation_repeat=3, kernel_size=3,
+            upsampling_factor=110, compute_dtype="bfloat16")
+    else:
+        config = WaveNetConfig(
+            n_quantize=256, n_aux=28, n_resch=512, n_skipch=256,
+            dilation_depth=10, dilation_repeat=3, kernel_size=2,
+            upsampling_factor=80, compute_dtype="bfloat16")
     params = init_wavenet_params(jax.random.PRNGKey(0), config)
 
     rng = np.random.RandomState(0)
     x = np.full((B, 1), 128, np.int32)
-    n_frames = (config.receptive_field + n_samples) // 80 + 2
-    h = rng.randn(B, n_frames, 28).astype(np.float32)
+    uf = config.upsampling_factor
+    n_frames = (config.receptive_field + n_samples) // uf + 2
+    h = rng.randn(B, n_frames, config.n_aux).astype(np.float32)
 
     xj = jnp.asarray(x)
     hj = upsample_aux(params, config, jnp.asarray(h))
@@ -64,7 +72,7 @@ def main():
     from pytorchwavenetvocoder_tpu.ops.ar_kernel import calibrate_act_scales
 
     scales = calibrate_act_scales(params, config, xj, hj) if quantize else None
-    carry = _warmup_state(params, config, xj, hj, project=not quantize)
+    carry = _warmup_state(params, config, xj, hj)
     jax.block_until_ready(carry)
 
     t0 = time.time()

@@ -170,10 +170,7 @@ def test_pallas_kernel3_matches_scan():
 
 
 def test_pallas_int8_close_to_bf16():
-    """Quantized path stays close (interpret mode; same quantization).
-
-    The int8 kernel consumes RAW rings (_warmup_state(project=False));
-    passing the default projected carry must raise."""
+    """Quantized path stays close (interpret mode; same quantization)."""
     cfg = small_cfg()
     params = init_wavenet_params(jax.random.PRNGKey(12), cfg)
     B, n = 4, 12
@@ -183,12 +180,7 @@ def test_pallas_int8_close_to_bf16():
     ref = np.asarray(pallas_ar_generate(params, cfg, carry, hj, T0, n,
                                         "argmax", jax.random.PRNGKey(0),
                                         interpret=True))
-    with pytest.raises(ValueError, match="RAW"):
-        pallas_ar_generate(params, cfg, carry, hj, T0, n, "argmax",
-                           jax.random.PRNGKey(0), interpret=True,
-                           quantize=True)
-    carry_q = _warmup_state(params, cfg, xj, hj, project=False)
-    out = np.asarray(pallas_ar_generate(params, cfg, carry_q, hj, T0, n,
+    out = np.asarray(pallas_ar_generate(params, cfg, carry, hj, T0, n,
                                         "argmax", jax.random.PRNGKey(0),
                                         interpret=True, quantize=True))
     # int8 introduces small logit error; most argmax picks should agree
@@ -207,10 +199,9 @@ def test_pallas_int8_close_to_scan_argmax():
     T0 = xj.shape[1]
     scales = calibrate_act_scales(params, cfg, xj, hj)
     carry = _warmup_state(params, cfg, xj, hj)
-    carry_q = _warmup_state(params, cfg, xj, hj, project=False)
     ref = np.asarray(_scan_from_state(params, cfg, carry, hj, T0, n,
                                       "argmax", jax.random.PRNGKey(0)))
-    out = np.asarray(pallas_ar_generate(params, cfg, carry_q, hj, T0, n,
+    out = np.asarray(pallas_ar_generate(params, cfg, carry, hj, T0, n,
                                         "argmax", jax.random.PRNGKey(0),
                                         interpret=True, quantize=True,
                                         act_scales=scales))
@@ -221,7 +212,7 @@ def test_pallas_int8_close_to_scan_argmax():
 
 def test_pallas_int8_kernel3_close_to_scan():
     """int8 with kernel_size 3 (ljspeech shape): both lagged taps read
-    pre-quantized int8 rings through qdot_pre."""
+    raw int8 rings through qdot_pre (launch-time re-quantization)."""
     from pytorchwavenetvocoder_tpu.ops.ar_kernel import calibrate_act_scales
 
     cfg = small_cfg(kernel_size=3, dilation_depth=3, dilation_repeat=2)

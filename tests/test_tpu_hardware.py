@@ -52,7 +52,7 @@ def _decode(params, cfg, B, n, rng, quantize=False):
     x = jnp.full((B, 1), 128, jnp.int32)
     h = jnp.zeros((B, cfg.receptive_field + n, cfg.n_aux), jnp.float32)
     xj, hj = _pad_seed(cfg, x, h)
-    carry = _warmup_state(params, cfg, xj, hj, project=not quantize)
+    carry = _warmup_state(params, cfg, xj, hj)
     return np.asarray(pallas_ar_generate(
         params, cfg, carry, hj, xj.shape[1], n, "sampling", rng,
         quantize=quantize))
@@ -256,7 +256,7 @@ def test_int8_sampler_distribution_chi2_at_flagship_width():
     x = jnp.full((B, 1), 128, jnp.int32)
     h = jnp.zeros((B, cfg.receptive_field + n, cfg.n_aux), jnp.float32)
     xj, hj = _pad_seed(cfg, x, h)
-    carry = _warmup_state(params, cfg, xj, hj, project=False)
+    carry = _warmup_state(params, cfg, xj, hj)
     scales = calibrate_act_scales(params, cfg, xj, hj)
     samples = np.asarray(pallas_ar_generate(
         params, cfg, carry, hj, xj.shape[1], n, "sampling",
