@@ -40,11 +40,14 @@ def main():
         upsample_aux,
     )
 
-    # B=256 is the measured best operating point: per-step cost is near-
-    # linear in B above 128 (the kernel is MXU-throughput-bound), weights
-    # stay VMEM-resident through B=256, and the fixed per-step overhead
-    # amortizes; B=512 flips to weight-streaming and gains nothing.
-    B = int(os.environ.get("BENCH_BATCH", "256"))
+    # B=512 is the aggregate-throughput operating point: per-step cost
+    # is near-linear in B above 128 (the kernel is MXU-throughput-
+    # bound) but the int8 weight pack stays VMEM-resident through
+    # B=512, measured ~9% more samples/s/chip than B=256 (1.96M vs
+    # 1.80M) at 2x the per-utterance latency.  Latency-sensitive fleets
+    # should run B=256 (BENCH_BATCH=256); bf16 streams weights above
+    # B=256 (its detail line reflects that).
+    B = int(os.environ.get("BENCH_BATCH", "512"))
     n_samples = int(os.environ.get("BENCH_SAMPLES", "4000"))
     config = WaveNetConfig(
         n_quantize=256, n_aux=28, n_resch=512, n_skipch=256,

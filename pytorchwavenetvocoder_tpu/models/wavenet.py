@@ -909,7 +909,6 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
     if use_pallas:
         from pytorchwavenetvocoder_tpu.ops.ar_kernel import (
             calibrate_act_scales,
-            pallas_ar_generate,
         )
 
         act_scales = (calibrate_act_scales(params, config, x, h)
@@ -919,28 +918,34 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
         carry = _warmup_state(params, config, x, h, bf16_intermediates=wb)
         if mesh is None:
             from pytorchwavenetvocoder_tpu.ops.ar_kernel import (
+                pallas_ar_generate_donate,
                 stage_aux,
+                staged_aux_len,
                 staged_aux_rows,
             )
 
             # the kernel's internal aux staging materializes ~2x the
-            # (T, B, 128) bf16 stream as XLA temporaries; above ~1.5 GB
-            # of that, stage in bounded chunks instead (huge fleets /
-            # long utterances would otherwise OOM the chip)
+            # lane-packed (ceil(T/pack), B, 128) bf16 stream as XLA
+            # temporaries; above ~1.5 GB of that, stage in bounded
+            # chunks instead (huge fleets / long utterances would
+            # otherwise OOM the chip).  The carry is DONATED either way:
+            # it is consumed exactly once here, and donation lets the
+            # kernel's in-place ring update alias the warm-up buffer
+            # instead of copying it (6.4 GB at fleet 512).
             need_T = x.shape[1] + max_n
             rows = staged_aux_rows(config)
-            if 2 * need_T * x.shape[0] * rows * 2 > 1_500_000_000:
+            n_rows = staged_aux_len(config, need_T)
+            if 2 * n_rows * x.shape[0] * rows * 2 > 1_500_000_000:
                 h_staged = stage_aux(h[:, :need_T], rows)
-                samples = pallas_ar_generate(params, config, carry,
-                                             h_staged, x.shape[1], max_n,
-                                             mode, rng, quantize=quantize,
-                                             act_scales=act_scales,
-                                             prestaged=True)
+                del h  # free the (B, T, A) f32 aux before the kernel runs
+                samples = pallas_ar_generate_donate(
+                    params, config, carry, h_staged, x.shape[1], max_n,
+                    mode, rng, quantize=quantize, act_scales=act_scales,
+                    prestaged=True)
             else:
-                samples = pallas_ar_generate(params, config, carry, h,
-                                             x.shape[1], max_n, mode, rng,
-                                             quantize=quantize,
-                                             act_scales=act_scales)
+                samples = pallas_ar_generate_donate(
+                    params, config, carry, h, x.shape[1], max_n, mode, rng,
+                    quantize=quantize, act_scales=act_scales)
         else:
             samples = pallas_mesh_generate(params, config, carry, h,
                                            x.shape[1], max_n, mode, rng,
@@ -950,7 +955,13 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
         samples = _scan_generate(params, config, x, h, max_n, mode, rng,
                                  intervals=intervals,
                                  warmup_bf16=bool(warmup_bf16))
-    samples = np.asarray(jax.device_get(samples))
+    if config.n_quantize <= 256:
+        # mu-law ids fit uint8: shrink the device->host copy 4x (the
+        # fleet output is B x max_n int32 on device — 49 MB at fleet
+        # 256 x 3 s, a measurable slice of e2e decode through thin
+        # host links)
+        samples = jax.jit(lambda s: s.astype(jnp.uint8))(samples)
+    samples = np.asarray(jax.device_get(samples)).astype(np.int32)
     return [samples[b, : int(n)] for b, n in enumerate(n_samples_list)]
 
 

@@ -180,51 +180,83 @@ def calibrate_act_scales(params, config, x, h_up):
     return (1.25 * jnp.maximum(maxes, 1e-3) / 127.0)[:, None]  # (L, 1)
 
 
+def aux_lane_layout(config) -> tuple[int, int, int]:
+    """(aux_rows, h_rows, pack) geometry of the staged aux stream.
+
+    The per-step aux column is only ``aux_rows`` wide (32 for A <= 32)
+    but an HBM-sliced row must be 128 lanes (Mosaic memref_slice
+    tiling), so ``pack = h_rows // aux_rows`` CONSECUTIVE timesteps
+    share one 128-lane row: step t lives in row t // pack, lane block
+    t % pack.  This cuts the staged stream's HBM footprint and DMA
+    traffic by ``pack`` (4x for A <= 32: fleet 512 x 3 s utterances is
+    1.7 GB staged instead of 6.7)."""
+    aux_rows = max(32, ((config.n_aux + 31) // 32) * 32)  # _pack_weights
+    h_rows = max(128, ((aux_rows + 127) // 128) * 128)
+    return aux_rows, h_rows, h_rows // aux_rows
+
+
 def staged_aux_rows(config) -> int:
     """Lane width of the kernel's staged aux stream (128-aligned)."""
-    aux_rows = max(32, ((config.n_aux + 31) // 32) * 32)  # _pack_weights
-    return max(128, ((aux_rows + 127) // 128) * 128)
+    return aux_lane_layout(config)[1]
 
 
-@partial(jax.jit, static_argnames=("h_rows", "chunk"))
+def staged_aux_len(config, n_steps: int) -> int:
+    """Number of staged rows covering ``n_steps`` decode positions."""
+    pack = aux_lane_layout(config)[2]
+    return -(-n_steps // pack)
+
+
+@partial(jax.jit, static_argnames=("aux_rows", "h_rows", "chunk"))
+def _stage_aux_packed(h_up, aux_rows: int, h_rows: int, chunk: int):
+    B, T, A = h_up.shape
+    pack = h_rows // aux_rows
+    rows_total = -(-T // pack)
+    nc = -(-rows_total // chunk)
+    # cast BEFORE padding: the padded copy is the staging pass's largest
+    # temporary (the kernel consumes bf16 anyway, so no fidelity change)
+    hp = jnp.pad(h_up.astype(jnp.bfloat16),
+                 ((0, 0), (0, nc * chunk * pack - T), (0, 0)))
+
+    def one(i):
+        hb = jax.lax.dynamic_slice_in_dim(hp, i * chunk * pack,
+                                          chunk * pack, 1)
+        hb = jnp.transpose(hb, (1, 0, 2))
+        out = jnp.zeros((chunk, B, h_rows), jnp.bfloat16)
+        for j in range(pack):
+            out = out.at[:, :, j * aux_rows:j * aux_rows + A].set(hb[j::pack])
+        return out
+
+    out = jax.lax.map(one, jnp.arange(nc))
+    return out.reshape(nc * chunk, B, h_rows)[:rows_total]
+
+
 def stage_aux(h_up, h_rows: int = 128, chunk: int = 2048):
-    """(B, T, A) aux -> the kernel's (T, B, h_rows) bf16 layout, built in
-    bounded T-chunks.
+    """(B, T, A) aux -> the kernel's lane-packed (ceil(T/pack), B,
+    h_rows) bf16 layout (see ``aux_lane_layout``), built in bounded
+    T-chunks.
 
     ``pallas_ar_generate`` stages this internally in ONE op, whose XLA
     lowering materializes both the transposed source and the padded
-    target (~2x the final array) — at fleet 512 x 51k samples that is
-    2 x 6.2 GB of temp and OOMs the chip.  Staging here via lax.map
-    bounds the temp to one chunk; pass the result with
-    ``prestaged=True``."""
-    B, T, A = h_up.shape
-    nc = -(-T // chunk)
-    hp = jnp.pad(h_up, ((0, 0), (0, nc * chunk - T), (0, 0)))
-
-    def one(i):
-        hb = jax.lax.dynamic_slice_in_dim(hp, i * chunk, chunk, 1)
-        out = jnp.zeros((chunk, B, h_rows), jnp.bfloat16)
-        return out.at[:, :, :A].set(
-            jnp.transpose(hb, (1, 0, 2)).astype(jnp.bfloat16))
-
-    out = jax.lax.map(one, jnp.arange(nc))
-    return out.reshape(nc * chunk, B, h_rows)[:T]
+    target (~2x the final array) — for huge fleets that temp OOMs the
+    chip.  Staging here via lax.map bounds the temp to one chunk; pass
+    the result with ``prestaged=True``."""
+    A = h_up.shape[2]
+    aux_rows = max(32, ((A + 31) // 32) * 32)
+    return _stage_aux_packed(h_up, aux_rows, h_rows, chunk)
 
 
-@partial(jax.jit, static_argnames=("config", "T0", "max_n", "mode",
-                                   "interpret", "quantize", "prestaged"))
-def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
-                       mode: str, rng, interpret: bool = False,
-                       quantize: bool = False, act_scales=None,
-                       prestaged: bool = False):
+def _pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
+                        mode: str, rng, interpret: bool = False,
+                        quantize: bool = False, act_scales=None,
+                        prestaged: bool = False):
     """Fused AR decode. Same contract as ``_scan_from_state``.
 
     Args:
       carry: (act_buf, sample_hist (B, k-1), prev (B,)) from _warmup_state.
       h_up: (B, >= T0 + max_n, A) sample-rate aux — or, with
-        ``prestaged=True``, the (>= T0 + max_n, B, staged_aux_rows) bf16
-        stream from ``stage_aux`` (bounded-memory staging for huge
-        fleets).
+        ``prestaged=True``, the lane-packed (>= staged_aux_len(config,
+        T0 + max_n), B, staged_aux_rows) bf16 stream from ``stage_aux``
+        (bounded-memory staging for huge fleets).
       quantize: run the large per-layer matmuls on the int8 MXU (2x the
         bf16 rate).  Weights use per-output-channel scales; activations
         use STATIC per-layer scales calibrated from the teacher-forced
@@ -355,25 +387,31 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
     else:
         wscale = jnp.zeros((c.n_layers, W), jnp.float32)     # unused
     aux_rows = auxpack.shape[1]
-    # the h stream is sliced out of HBM per step: its minor dim must be
-    # 128-aligned on TPU (Mosaic memref_slice tiling constraint)
+    # the h stream is sliced out of HBM per step; rows are 128 lanes
+    # (Mosaic memref_slice tiling) holding `hpk` consecutive timesteps
+    # in aux_rows-wide lane blocks — see aux_lane_layout
     h_rows = max(128, ((aux_rows + 127) // 128) * 128)
+    hpk = h_rows // aux_rows
+    T_need = T0 + max_n
+    T_rows = -(-T_need // hpk)
 
     if prestaged:
         # caller built the stream with stage_aux (bounded-memory path)
         if (h_up.ndim != 3 or h_up.shape[1] != B or h_up.shape[2] != h_rows
-                or h_up.shape[0] < T0 + max_n or h_up.dtype != jnp.bfloat16):
+                or h_up.shape[0] < T_rows or h_up.dtype != jnp.bfloat16):
             raise ValueError(
-                f"prestaged aux must be (>= {T0 + max_n}, {B}, {h_rows}) "
+                f"prestaged aux must be (>= {T_rows}, {B}, {h_rows}) "
                 f"bf16 from stage_aux; got {h_up.shape} {h_up.dtype}")
-        h_t = h_up[: T0 + max_n]
+        h_t = h_up[:T_rows]
     else:
         # bf16: the aux projection consumes bf16 anyway, and f32 would
-        # cost T * B * 128 * 4 bytes of HBM for long-utterance fleets
-        h_t = jnp.zeros((T0 + max_n, B, h_rows), jnp.bfloat16)
-        h_t = h_t.at[:, :, :A].set(
-            jnp.transpose(h_up[:, : T0 + max_n, :], (1, 0, 2))
-            .astype(jnp.bfloat16))
+        # cost 4 bytes/lane of HBM for long-utterance fleets
+        src = jnp.transpose(h_up[:, :T_need, :], (1, 0, 2)).astype(
+            jnp.bfloat16)
+        src = jnp.pad(src, ((0, T_rows * hpk - T_need), (0, 0), (0, 0)))
+        h_t = jnp.zeros((T_rows, B, h_rows), jnp.bfloat16)
+        for j in range(hpk):
+            h_t = h_t.at[:, :, j * aux_rows:j * aux_rows + A].set(src[j::hpk])
 
     if not raw_int8:
         act_buf = act_buf.astype(jnp.bfloat16)
@@ -457,27 +495,32 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                 actbuf_ref.at[pl.ds(gbases[g] + slot * G, G)],
                 write_sems.at[g])
 
-        def h_dma(pos, slot):
-            # double-buffered: step i consumes the column prefetched at
-            # step i-1 so the HBM latency never sits on the critical path
+        def h_dma(row, slot):
+            # double-buffered: a row (hpk consecutive steps' aux lane
+            # blocks) is prefetched while the previous row is consumed,
+            # so the HBM latency never sits on the critical path
             return pltpu.make_async_copy(
-                h_ref.at[pl.ds(pos, 1)],
+                h_ref.at[pl.ds(row, 1)],
                 hcol_buf.at[pl.ds(slot, 1)], h_sem.at[slot])
+
+        hrow = p // hpk          # staged row holding step p's aux column
+        hjj = p % hpk            # its lane block within the row
 
         # ---- step prologue -------------------------------------------
         @pl.when(i == 0)
         def _():
             prev_buf[:] = prev_init_ref[:]
-            h_dma(p, 0).start()
+            h_dma(hrow, hrow % 2).start()
 
         if not resident:
             @pl.when(i == 0)
             def _():
                 w_dma(0).start()
 
-        @pl.when(i + 1 < max_n)
+        # prefetch the NEXT row exactly when step i+1 crosses into it
+        @pl.when((i + 1 < max_n) & ((p + 1) % hpk == 0))
         def _():
-            h_dma(p + 1, (i + 1) % 2).start()
+            h_dma(hrow + 1, (hrow + 1) % 2).start()
 
         # wait for LAST step's ring writes before this step's reads: the
         # d=1 layers reuse the same slot every step, and waiting here
@@ -515,8 +558,23 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
                       preferred_element_type=jnp.float32) + causal_b_ref[:]
         out_buf[:] = out
 
-        h_dma(p, i % 2).wait()
-        hcol = hcol_buf[i % 2, :, :aux_rows]      # (B, aux_rows) bf16
+        # each started row DMA is waited exactly once: by the prologue
+        # step, or by the first step that lands in the row (hjj == 0)
+        @pl.when((i == 0) | (hjj == 0))
+        def _():
+            h_dma(hrow, hrow % 2).wait()
+        hslot = hrow % 2
+        if hpk == 1:
+            hcol = hcol_buf[hslot, :, :aux_rows]  # (B, aux_rows) bf16
+        else:
+            # select step p's lane block (static slices + scalar selects:
+            # ~3 (B, aux_rows) VPU selects, off the critical path)
+            hcol = hcol_buf[hslot, :, :aux_rows]
+            for jj in range(1, hpk):
+                hcol = jnp.where(
+                    hjj == jj,
+                    hcol_buf[hslot, :, jj * aux_rows:(jj + 1) * aux_rows],
+                    hcol)
 
         if aux_onemm:
             # all L layers' aux conditioning in one (B,32)@(32,L*2R)
@@ -794,3 +852,22 @@ def pallas_ar_generate(params, config, carry, h_up, T0: int, max_n: int,
       biases["causal_b"], biases["post1_b"], biases["post2_b"], prev_init)
 
     return jnp.transpose(samples[:max_n, :B], (1, 0))
+
+
+_AR_STATICS = ("config", "T0", "max_n", "mode", "interpret", "quantize",
+               "prestaged")
+
+#: Standard entry: the caller's ``carry`` stays valid (reusable across
+#: repeated decodes from the same warm-up state — bench loops, tests).
+pallas_ar_generate = partial(jax.jit, static_argnames=_AR_STATICS)(
+    _pallas_ar_generate)
+
+#: Fleet entry: DONATES the carry.  The kernel updates the dilation
+#: rings in place (``input_output_aliases``); without donation XLA must
+#: copy the ring buffer to preserve the jit argument — 6.4 GB at fleet
+#: 512 for the flagship, the difference between fitting and OOM.  The
+#: caller's carry buffers are invalidated; use only when the carry is
+#: consumed exactly once (``batch_fast_generate``).
+pallas_ar_generate_donate = partial(
+    jax.jit, static_argnames=_AR_STATICS, donate_argnums=(2,))(
+    _pallas_ar_generate)
