@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import Any
 
@@ -825,6 +826,49 @@ def pallas_mesh_generate(params: Params, config: WaveNetConfig, carry, h,
     )(params, carry, h, rng, act_scales)
 
 
+def _fleet_hbm_bytes(config: WaveNetConfig, B: int, max_n: int) -> int:
+    """Estimated single-chip HBM high-water of one decode fleet.
+
+    Counts the big O(B) buffers of the pallas decode path: the warm-up
+    ring carry, the upsampled f32 aux, the lane-packed staged aux
+    stream (plus one staging temporary), the int32 output, and ~half a
+    ring again for warm-up forward temporaries.  Used by
+    ``batch_fast_generate`` to auto-cap fleet size before the chip
+    OOMs; deliberately conservative rather than exact."""
+    c = config
+    need_T = c.receptive_field + 1 + max_n
+    rw = 2 * c.n_resch if c.kernel_size == 2 else c.n_resch
+    ring = (c.kernel_size - 1) * sum(c.dilations) * B * rw * 2
+    h_up = B * need_T * c.n_aux * 4
+    aux_rows = max(32, -(-c.n_aux // 32) * 32)
+    h_rows = max(128, -(-aux_rows // 128) * 128)
+    staged = -(-need_T // (h_rows // aux_rows)) * B * h_rows * 2
+    out = B * max_n * 4
+    return ring + h_up + staged + out + ring // 2
+
+
+def _decode_hbm_budget() -> float:
+    """HBM budget (bytes) available to one decode fleet.
+
+    ``WNV_DECODE_HBM_BUDGET`` overrides; otherwise 3/4 of the device's
+    reported ``bytes_limit`` (leaving headroom for weights, XLA
+    temporaries, and a resident train state), falling back to 12 GB on
+    TPU and unbounded elsewhere (CPU tests must not chunk)."""
+    env = os.environ.get("WNV_DECODE_HBM_BUDGET")
+    if env:
+        return float(env)
+    if jax.default_backend() != "tpu":
+        return float("inf")
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        lim = stats.get("bytes_limit")
+        if lim:
+            return 0.75 * float(lim)
+    except Exception:
+        pass
+    return 12e9
+
+
 def batch_fast_generate(params: Params, config: WaveNetConfig,
                         x, h, n_samples_list, mode: str = "sampling",
                         rng: jax.Array | None = None, mesh=None,
@@ -864,6 +908,36 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
       static shapes for XLA).
     """
     c = config
+    # ---- fleet HBM auto-capping ----------------------------------------
+    # A fleet whose warm-up carry + upsampled aux + staged stream exceed
+    # the chip's HBM budget is decoded in sequential sub-fleets instead
+    # of OOMing (huge B x long utterances).  Chunked before the f32 aux
+    # upsample so the big buffers are never built at full fleet size.
+    # Sampling keys are fold_in-split per sub-fleet; argmax decoding is
+    # bit-identical chunked vs not.
+    # WNV_DECODE_FLEET_CHUNK=<B> forces a chunk size (testing aid).
+    B_fleet = int(np.shape(x)[0])
+    if mesh is None and B_fleet > 1:
+        forced = int(os.environ.get("WNV_DECODE_FLEET_CHUNK", "0"))
+        if forced > 0:
+            chunk_B = min(forced, B_fleet)
+        else:
+            budget = _decode_hbm_budget()
+            est = _fleet_hbm_bytes(c, B_fleet, int(max(n_samples_list)))
+            chunk_B = (B_fleet if est <= budget
+                       else max(1, B_fleet // -(-est // int(budget))))
+        if chunk_B < B_fleet:
+            outs = []
+            base_rng = rng if rng is not None else jax.random.PRNGKey(0)
+            n_list = list(n_samples_list)
+            for i in range(0, B_fleet, chunk_B):
+                sl = slice(i, i + chunk_B)
+                outs.extend(batch_fast_generate(
+                    params, config, x[sl], h[sl], n_list[sl],
+                    mode, jax.random.fold_in(base_rng, i), mesh=None,
+                    impl=impl, intervals=intervals, quantize=quantize,
+                    warmup_bf16=warmup_bf16))
+            return outs
     x = jnp.asarray(x, jnp.int32)
     h = jnp.asarray(h, c.acc_dtype)
     if c.upsampling_factor > 0:
@@ -936,7 +1010,7 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
             rows = staged_aux_rows(config)
             n_rows = staged_aux_len(config, need_T)
             if 2 * n_rows * x.shape[0] * rows * 2 > 1_500_000_000:
-                h_staged = stage_aux(h[:, :need_T], rows)
+                h_staged = stage_aux(h[:, :need_T], rows, config=config)
                 del h  # free the (B, T, A) f32 aux before the kernel runs
                 samples = pallas_ar_generate_donate(
                     params, config, carry, h_staged, x.shape[1], max_n,
@@ -960,7 +1034,7 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
         # fleet output is B x max_n int32 on device — 49 MB at fleet
         # 256 x 3 s, a measurable slice of e2e decode through thin
         # host links)
-        samples = jax.jit(lambda s: s.astype(jnp.uint8))(samples)
+        samples = samples.astype(jnp.uint8)  # eager: shape-keyed dispatch cache
     samples = np.asarray(jax.device_get(samples)).astype(np.int32)
     return [samples[b, : int(n)] for b, n in enumerate(n_samples_list)]
 

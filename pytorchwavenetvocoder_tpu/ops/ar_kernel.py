@@ -230,7 +230,7 @@ def _stage_aux_packed(h_up, aux_rows: int, h_rows: int, chunk: int):
     return out.reshape(nc * chunk, B, h_rows)[:rows_total]
 
 
-def stage_aux(h_up, h_rows: int = 128, chunk: int = 2048):
+def stage_aux(h_up, h_rows: int = 128, chunk: int = 2048, config=None):
     """(B, T, A) aux -> the kernel's lane-packed (ceil(T/pack), B,
     h_rows) bf16 layout (see ``aux_lane_layout``), built in bounded
     T-chunks.
@@ -239,9 +239,22 @@ def stage_aux(h_up, h_rows: int = 128, chunk: int = 2048):
     lowering materializes both the transposed source and the padded
     target (~2x the final array) — for huge fleets that temp OOMs the
     chip.  Staging here via lax.map bounds the temp to one chunk; pass
-    the result with ``prestaged=True``."""
+    the result with ``prestaged=True``.
+
+    Pass ``config`` to pin the lane layout to the model's ``n_aux``:
+    aux wider than the kernel's pack geometry would otherwise produce a
+    stream that passes the kernel's length check but decodes with a
+    silently wrong lane layout."""
     A = h_up.shape[2]
     aux_rows = max(32, ((A + 31) // 32) * 32)
+    if config is not None:
+        want_aux_rows, want_h_rows, _ = aux_lane_layout(config)
+        if A != config.n_aux or aux_rows != want_aux_rows \
+                or h_rows != want_h_rows:
+            raise ValueError(
+                f"aux width {A} / h_rows {h_rows} do not match the "
+                f"kernel lane layout for n_aux={config.n_aux} "
+                f"(aux_rows {want_aux_rows}, h_rows {want_h_rows})")
     return _stage_aux_packed(h_up, aux_rows, h_rows, chunk)
 
 

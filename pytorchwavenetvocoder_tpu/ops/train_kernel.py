@@ -100,6 +100,10 @@ def fused_train_constraint_error(config, T: int) -> str | None:
     cadence in particular would be a silent data race, not an error).
     """
     c = config
+    if _TILE % 2 != 0:
+        # the backward packs its dz ring as bf16 pairs in int32 rows of
+        # M // 2 — an odd tile would silently corrupt gradients
+        return f"tile size M={_TILE} must be even (bf16-pair dz ring)"
     if c.kernel_size not in (2, 3):
         return f"kernel_size={c.kernel_size} (fused kernels support 2 or 3)"
     if c.n_resch % 128 != 0 or c.n_skipch % 128 != 0:

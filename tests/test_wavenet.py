@@ -213,3 +213,48 @@ def test_intervals_chunked_decode_identical():
                                       intervals=13)
         for a, b in zip(fused, chunked):
             np.testing.assert_array_equal(a, b)
+
+
+def test_fleet_chunked_decode_matches_unchunked(monkeypatch):
+    """HBM auto-capping: a fleet decoded in sequential sub-fleets must
+    emit the same argmax stream as the single-shot path (argmax ignores
+    the per-chunk PRNG fold, so equality is exact)."""
+    cfg = tiny_config(compute_dtype="float64")
+    params = init_wavenet_params(jax.random.PRNGKey(8), cfg)
+    B = 5
+    n_list = [20, 14, 20, 9, 17]
+    T = cfg.receptive_field
+    rng = np.random.RandomState(8)
+    x = rng.randint(0, cfg.n_quantize, (B, T)).astype(np.int32)
+    h = rng.randn(B, T + max(n_list), cfg.n_aux).astype(np.float32)
+
+    whole = batch_fast_generate(params, cfg, x, h, list(n_list),
+                                mode="argmax")
+    monkeypatch.setenv("WNV_DECODE_FLEET_CHUNK", "2")
+    chunked = batch_fast_generate(params, cfg, x, h, list(n_list),
+                                  mode="argmax")
+    assert len(chunked) == B
+    for a, b in zip(whole, chunked):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fleet_hbm_estimate_triggers_chunking(monkeypatch):
+    """A tiny WNV_DECODE_HBM_BUDGET must force the estimator-driven
+    chunk path (and still produce correct ragged outputs)."""
+    from pytorchwavenetvocoder_tpu.models.wavenet import _fleet_hbm_bytes
+
+    cfg = tiny_config(compute_dtype="float64")
+    params = init_wavenet_params(jax.random.PRNGKey(9), cfg)
+    B, n = 4, 15
+    T = cfg.receptive_field
+    rng = np.random.RandomState(9)
+    x = rng.randint(0, cfg.n_quantize, (B, T)).astype(np.int32)
+    h = rng.randn(B, T + n, cfg.n_aux).astype(np.float32)
+    assert _fleet_hbm_bytes(cfg, B, n) > _fleet_hbm_bytes(cfg, 1, n)
+
+    whole = batch_fast_generate(params, cfg, x, h, [n] * B, mode="argmax")
+    monkeypatch.setenv("WNV_DECODE_HBM_BUDGET",
+                       str(_fleet_hbm_bytes(cfg, 1, n) * 2))
+    chunked = batch_fast_generate(params, cfg, x, h, [n] * B, mode="argmax")
+    for a, b in zip(whole, chunked):
+        np.testing.assert_array_equal(a, b)
