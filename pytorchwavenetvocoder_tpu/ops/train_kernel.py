@@ -75,35 +75,37 @@ VMEM_BUDGET_BYTES = 112 * 1024 * 1024
 
 import os as _os
 
-# row-tile size M; T is padded to a multiple of this.  The env knob is a
-# benchmarking aid (scripts/), not a production switch.
-_TILE = int(_os.environ.get("_WN_TRAIN_TILE", "512"))
+# Row-tile size M; T is padded to a multiple of the selected tile.
+# ``_tile_for`` picks the largest candidate the window/VMEM budget
+# allows (bigger tiles amortize the per-step DMA + matmul issue
+# overhead: 1024 measured ~7% faster per train step than 512 at the
+# flagship shapes).  The env knob pins a single size — a benchmarking
+# aid (scripts/), not a production switch.  ``_TILE`` is the fallback
+# size, kept as a module attribute for the interpret-mode tests that
+# size their windows in tile units.
+_TILE_ENV = _os.environ.get("_WN_TRAIN_TILE")
+_TILE = int(_TILE_ENV) if _TILE_ENV is not None else 512
+_TILE_CANDIDATES = (_TILE,) if _TILE_ENV is not None else (1024, _TILE)
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _hist_tiles(config) -> int:
+def _hist_tiles(config, M: int) -> int:
     """Ring depth covering the largest tap shift ((k-1) * max dilation)."""
     max_shift = (config.kernel_size - 1) * max(config.dilations)
-    return 1 + -(-max_shift // _TILE)  # current tile + ceil(shift / M)
+    return 1 + -(-max_shift // M)  # current tile + ceil(shift / M)
 
 
-def fused_train_constraint_error(config, T: int) -> str | None:
-    """Why the fused train kernels can NOT run this config/window.
-
-    Returns a human-readable reason, or None when the config qualifies.
-    ``supports_fused_train`` is the boolean view; CLIs that let the user
-    force ``fused=True`` should surface this string instead of running
-    the kernel outside its validated envelope (the n_tiles >= 4 DMA
-    cadence in particular would be a silent data race, not an error).
-    """
+def _constraint_error_at(config, T: int, M: int) -> str | None:
+    """Why the fused train kernels can NOT run this config/window at
+    row-tile size ``M`` (None when they can)."""
     c = config
-    if _TILE % 2 != 0:
+    if M % 2 != 0:
         # the backward packs its dz ring as bf16 pairs in int32 rows of
         # M // 2 — an odd tile would silently corrupt gradients
-        return f"tile size M={_TILE} must be even (bf16-pair dz ring)"
+        return f"tile size M={M} must be even (bf16-pair dz ring)"
     if c.kernel_size not in (2, 3):
         return f"kernel_size={c.kernel_size} (fused kernels support 2 or 3)"
     if c.n_resch % 128 != 0 or c.n_skipch % 128 != 0:
@@ -111,19 +113,18 @@ def fused_train_constraint_error(config, T: int) -> str | None:
                 "multiples of 128 (MXU lane tiling)")
     if c.n_aux < 1:
         return "n_aux=0 (fused kernels require at least one aux channel)"
-    T_pad = _round_up(T, _TILE)
+    T_pad = _round_up(T, M)
     # The rotate-2 write-sem discipline only waits a staged cross-layer
     # stream write two steps after it starts, while the NEXT layer's read
     # of that tile is prefetched n_tiles-1 steps later: n_tiles >= 4
     # keeps the read issue strictly after the write's wait.  (Training
     # windows are ~40 tiles; this only excludes toy lengths.)
-    if T_pad // _TILE < 4:
-        return (f"window T={T} pads to {T_pad // _TILE} tiles of {_TILE}; "
+    if T_pad // M < 4:
+        return (f"window T={T} pads to {T_pad // M} tiles of {M}; "
                 "the kernel's DMA cadence requires >= 4 tiles")
     R, S, k = c.n_resch, c.n_skipch, c.kernel_size
     HA = _round_up(c.n_aux, 128)
-    M = _TILE
-    KH = _hist_tiles(config)
+    KH = _hist_tiles(config, M)
     # fwd high-water: resident f32 skip accumulator + packed tap ring
     fwd = (T_pad * S * 4
            + KH * M * R * 2 + 4 * M * R * 2 + 2 * M * 2 * R * 2
@@ -137,8 +138,31 @@ def fused_train_constraint_error(config, T: int) -> str | None:
     if max(fwd, bwd) >= VMEM_BUDGET_BYTES:
         return (f"VMEM high-water {max(fwd, bwd) / 2**20:.0f} MiB exceeds "
                 f"the {VMEM_BUDGET_BYTES / 2**20:.0f} MiB budget at this "
-                "config/window size")
+                f"config/window size (tile {M})")
     return None
+
+
+def _tile_for(config, T: int) -> int:
+    """Row-tile size for this config/window: the first candidate (largest
+    first) whose constraints pass, else the fallback ``_TILE``.  Both
+    ``_fwd_pallas`` and ``_bwd_pallas`` call this with the same (config,
+    T), so forward and backward always agree on the padding grid."""
+    for M in _TILE_CANDIDATES:
+        if _constraint_error_at(config, T, M) is None:
+            return M
+    return _TILE
+
+
+def fused_train_constraint_error(config, T: int) -> str | None:
+    """Why the fused train kernels can NOT run this config/window.
+
+    Returns a human-readable reason, or None when the config qualifies.
+    ``supports_fused_train`` is the boolean view; CLIs that let the user
+    force ``fused=True`` should surface this string instead of running
+    the kernel outside its validated envelope (the n_tiles >= 4 DMA
+    cadence in particular would be a silent data race, not an error).
+    """
+    return _constraint_error_at(config, T, _tile_for(config, T))
 
 
 def supports_fused_train(config, T: int) -> bool:
@@ -248,11 +272,11 @@ def _fwd_pallas(config, lw, stream0, h_up, interpret=False,
     R, S, L, k = c.n_resch, c.n_skipch, c.n_layers, c.kernel_size
     A = c.n_aux
     HA = _round_up(A, 128)
-    M = _TILE
     B, T = stream0.shape[0], stream0.shape[1]
+    M = _tile_for(c, T)
     T_pad = _round_up(T, M)
     n_tiles = T_pad // M
-    NR = _hist_tiles(c)  # ring slots (DMAs land in x_land, not the ring)
+    NR = _hist_tiles(c, M)  # ring slots (DMAs land in x_land, not the ring)
 
     x0 = jnp.zeros((B, T_pad, R), jnp.bfloat16)
     x0 = x0.at[:, :T].set(stream0.astype(jnp.bfloat16))
@@ -493,11 +517,12 @@ def _bwd_pallas(config, lw, x0, streams, st, hb, dskip, interpret=False):
     R, S, L, k = c.n_resch, c.n_skipch, c.n_layers, c.kernel_size
     A = c.n_aux
     HA = hb.shape[2]
-    M = _TILE
     B, T = dskip.shape[0], dskip.shape[1]
+    M = _tile_for(c, T)
     T_pad = st.shape[2]
+    assert T_pad % M == 0, (T_pad, M)  # fwd and bwd tile choice must agree
     n_tiles = T_pad // M
-    KH = _hist_tiles(c)
+    KH = _hist_tiles(c, M)
 
     dsk = jnp.zeros((B, T_pad, S), jnp.float32)
     dsk = dsk.at[:, :T].set(dskip.astype(jnp.float32))

@@ -42,6 +42,7 @@ _SLOW_TESTS = {
     "test_pallas_mesh_generate_matches_scan",
     "test_feature_extract_cli_f0_device_jax",
     "test_fused_backward_odd_batch_and_tiles",
+    "test_fused_forward_bit_exact_at_1024_tile",
     "test_fused_backward_matches_autodiff",
     "test_mesh_fused_shardmap_matches_single",
     "test_full_cli_pipeline",

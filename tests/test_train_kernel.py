@@ -65,6 +65,31 @@ def test_fused_forward_tile_boundaries(n_tiles_shape):
     np.testing.assert_array_equal(ref, np.asarray(got))
 
 
+def test_tile_selection_prefers_1024_when_window_allows():
+    """_tile_for upgrades to the 1024 row tile only when the window
+    still yields >= 4 tiles (and VMEM fits); fwd/bwd call it with the
+    same (config, T), so the padding grid always agrees."""
+    cfg = _small_cfg()
+    assert tk._tile_for(cfg, 4096) == 1024
+    assert tk._tile_for(cfg, 12000) == 1024
+    # 3 tiles of 1024 < 4 -> falls back to the 512 fallback tile
+    assert tk._tile_for(cfg, 2560) == tk._TILE
+    assert tk.fused_train_constraint_error(cfg, 4096) is None
+
+
+def test_fused_forward_bit_exact_at_1024_tile():
+    """Same bit-exactness contract as test_fused_forward_bit_exact, at a
+    window long enough that _tile_for selects the 1024 row tile (the
+    flagship training grid)."""
+    cfg = _small_cfg()
+    T = 4 * 1024 - 100  # padded grid: 4 tiles of 1024
+    assert tk._tile_for(cfg, T) == 1024
+    _, lw, stream0, h_up = _data(cfg, B=1, T=T)
+    ref = np.asarray(tk.ref_layer_stack(lw, cfg, stream0, h_up))
+    got, _ = tk._fwd_pallas(cfg, lw, stream0, h_up, interpret=True)
+    np.testing.assert_array_equal(ref, np.asarray(got))
+
+
 @pytest.mark.parametrize("kernel_size", [2, 3])
 def test_fused_backward_matches_autodiff(kernel_size):
     cfg = _small_cfg(kernel_size)
