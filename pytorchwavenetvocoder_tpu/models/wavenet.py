@@ -890,9 +890,10 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
         one-process-per-GPU fan-out, `decode.py:329-338`).  B must be a
         multiple of the data-axis size.
       impl: "scan" (lax.scan, any config, mesh-shardable), "pallas"
-        (fused single-chip TPU kernel, kernel_size 2 / 128-multiple
-        channels; see ops/ar_kernel.py), or "auto" (pallas when supported
-        and no mesh was given).
+        (fused TPU kernel, kernel_size 2/3, n_quantize 256; channel
+        counts off the 128-lane grid are zero-padded in transparently —
+        see ops/ar_kernel.py pad_params_for_pallas), or "auto" (pallas
+        when supported).
       quantize: pallas path only — int8 MXU matmuls with warmup-
         calibrated static activation scales (~1.35x throughput, small
         logit error; see ops/ar_kernel.py).
@@ -952,11 +953,23 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
         rng = jax.random.PRNGKey(0)
 
     use_pallas = False
+    pl_params, pl_c = params, c
     if impl in ("pallas", "auto"):
-        from pytorchwavenetvocoder_tpu.ops.ar_kernel import supports_pallas_ar
+        from pytorchwavenetvocoder_tpu.ops.ar_kernel import (
+            pad_params_for_pallas,
+            pallas_paddable,
+            supports_pallas_ar,
+        )
 
         on_tpu = jax.default_backend() == "tpu"
         use_pallas = supports_pallas_ar(c) and on_tpu
+        if not use_pallas and on_tpu and pallas_paddable(c):
+            # channel counts off the 128-lane grid: zero-pad the params
+            # into the kernel envelope (inference-transparent — padded
+            # lanes stay exactly 0; see pad_params_for_pallas) instead
+            # of falling back to the ~3x slower scan path
+            pl_params, pl_c = pad_params_for_pallas(params, c)
+            use_pallas = True
         if mesh is not None and x.shape[0] % mesh.shape["data"] != 0:
             use_pallas = False
         if impl == "pallas" and not use_pallas:
@@ -978,18 +991,20 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
         repl = NamedSharding(mesh, P())
         x = jax.device_put(x, sh)
         h = jax.device_put(h, sh)
+        padded = pl_params is not params
         params = jax.device_put(params, repl)
+        pl_params = jax.device_put(pl_params, repl) if padded else params
 
     if use_pallas:
         from pytorchwavenetvocoder_tpu.ops.ar_kernel import (
             calibrate_act_scales,
         )
 
-        act_scales = (calibrate_act_scales(params, config, x, h)
+        act_scales = (calibrate_act_scales(pl_params, pl_c, x, h)
                       if quantize else None)
-        wb = (config.dtype == jnp.bfloat16 if warmup_bf16 is None
+        wb = (pl_c.dtype == jnp.bfloat16 if warmup_bf16 is None
               else warmup_bf16)
-        carry = _warmup_state(params, config, x, h, bf16_intermediates=wb)
+        carry = _warmup_state(pl_params, pl_c, x, h, bf16_intermediates=wb)
         if mesh is None:
             from pytorchwavenetvocoder_tpu.ops.ar_kernel import (
                 pallas_ar_generate_donate,
@@ -1007,21 +1022,21 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
             # kernel's in-place ring update alias the warm-up buffer
             # instead of copying it (6.4 GB at fleet 512).
             need_T = x.shape[1] + max_n
-            rows = staged_aux_rows(config)
-            n_rows = staged_aux_len(config, need_T)
+            rows = staged_aux_rows(pl_c)
+            n_rows = staged_aux_len(pl_c, need_T)
             if 2 * n_rows * x.shape[0] * rows * 2 > 1_500_000_000:
-                h_staged = stage_aux(h[:, :need_T], rows, config=config)
+                h_staged = stage_aux(h[:, :need_T], rows, config=pl_c)
                 del h  # free the (B, T, A) f32 aux before the kernel runs
                 samples = pallas_ar_generate_donate(
-                    params, config, carry, h_staged, x.shape[1], max_n,
+                    pl_params, pl_c, carry, h_staged, x.shape[1], max_n,
                     mode, rng, quantize=quantize, act_scales=act_scales,
                     prestaged=True)
             else:
                 samples = pallas_ar_generate_donate(
-                    params, config, carry, h, x.shape[1], max_n, mode, rng,
+                    pl_params, pl_c, carry, h, x.shape[1], max_n, mode, rng,
                     quantize=quantize, act_scales=act_scales)
         else:
-            samples = pallas_mesh_generate(params, config, carry, h,
+            samples = pallas_mesh_generate(pl_params, pl_c, carry, h,
                                            x.shape[1], max_n, mode, rng,
                                            mesh, quantize=quantize,
                                            act_scales=act_scales)

@@ -37,8 +37,11 @@ kernel runs the WHOLE sample loop on-core:
   halving ring HBM bytes and dropping the read-side quantization —
   measured 1.23M -> 1.57M samples/s on the ljspeech kernel-3 flagship.
 
-Restrictions: kernel_size in (2, 3), channel counts multiples of 128,
-n_quantize 256.  Other configurations use the lax.scan path.
+Restrictions: kernel_size in (2, 3), n_quantize 256.  Channel counts
+that are not multiples of 128 are zero-padded into the envelope at
+decode time (``pad_params_for_pallas`` — inference-transparent, see its
+docstring); only kernel_size / n_quantize outliers use the lax.scan
+path.
 """
 
 from __future__ import annotations
@@ -69,7 +72,13 @@ _DEBUG_NOAUX = _os.environ.get("_WN_AR_DEBUG_NOAUX", "") == "1"
 
 
 def supports_pallas_ar(config, backend: str | None = None) -> bool:
-    """Whether the fused AR kernel can run this config."""
+    """Whether the fused AR kernel can run this config as-is.
+
+    Configs that fail ONLY on channel divisibility can still be decoded
+    through the kernel after ``pad_params_for_pallas`` (see
+    ``pallas_paddable``); ``batch_fast_generate`` applies that shim
+    automatically.
+    """
     if config.kernel_size not in (2, 3):
         return False
     if config.n_resch % 128 != 0 or config.n_skipch % 128 != 0:
@@ -77,6 +86,73 @@ def supports_pallas_ar(config, backend: str | None = None) -> bool:
     if config.n_quantize != 256:
         return False
     return True
+
+
+def pallas_paddable(config) -> bool:
+    """True when the ONLY reason ``supports_pallas_ar`` fails is channel
+    divisibility — zero-padding R/S up to the next multiple of 128 makes
+    the kernel applicable (``pad_params_for_pallas``)."""
+    return (config.kernel_size in (2, 3) and config.n_quantize == 256
+            and not supports_pallas_ar(config))
+
+
+def _pad_tail(a, axis: int, new: int):
+    pads = [(0, 0)] * a.ndim
+    pads[axis] = (0, new - a.shape[axis])
+    return jnp.pad(a, pads)
+
+
+def _pad_gate(a, axis: int, Rp: int):
+    """Pad a fused-gate axis of width 2R ([:R]=sigmoid, [R:]=tanh — see
+    init_wavenet_params) to 2*Rp, padding EACH half so the kernel's
+    split-at-Rp convention still lands on the right halves."""
+    sig, tanh = jnp.split(a, 2, axis=axis)
+    return jnp.concatenate(
+        [_pad_tail(sig, axis, Rp), _pad_tail(tanh, axis, Rp)], axis=axis)
+
+
+def pad_params_for_pallas(params, config):
+    """Zero-pad channel counts to the kernel's 128-lane envelope.
+
+    Returns ``(padded_params, padded_config)`` with n_resch/n_skipch
+    rounded up to multiples of 128.  Inference-transparent BY
+    CONSTRUCTION: padded weight rows/columns and biases are zero, so
+    padded residual lanes stay exactly 0.0 through every layer
+    (gate pre-activations 0 -> sigmoid(0)*tanh(0) = 0; residual adds
+    0 + 0; post-stack ReLU(0) = 0), and the logits over the original Q
+    classes are bit-identical — appended zero rows extend MXU
+    contraction tiles without perturbing any nonzero partial sum.  The
+    int8 path is safe too: all-zero columns hit the 1e-8 weight-scale
+    floor and quantize to 0.  NOT applicable to training (padded
+    weights would receive nonzero gradients and stop being zero).
+    """
+    import dataclasses
+
+    c = config
+    R, S = c.n_resch, c.n_skipch
+    Rp, Sp = -(-R // 128) * 128, -(-S // 128) * 128
+    if (Rp, Sp) == (R, S):
+        return params, config
+    p = {
+        "causal": {"w": _pad_tail(params["causal"]["w"], 2, Rp),
+                   "b": _pad_tail(params["causal"]["b"], 0, Rp)},
+        "dil": {"w": _pad_gate(_pad_tail(params["dil"]["w"], 2, Rp), 3, Rp),
+                "b": _pad_gate(params["dil"]["b"], 1, Rp)},
+        "aux": {"w": _pad_gate(params["aux"]["w"], 2, Rp),
+                "b": _pad_gate(params["aux"]["b"], 1, Rp)},
+        "skip": {"w": _pad_tail(_pad_tail(params["skip"]["w"], 1, Rp), 2, Sp),
+                 "b": _pad_tail(params["skip"]["b"], 1, Sp)},
+        "res": {"w": _pad_tail(_pad_tail(params["res"]["w"], 1, Rp), 2, Rp),
+                "b": _pad_tail(params["res"]["b"], 1, Rp)},
+        "post1": {"w": _pad_tail(_pad_tail(params["post1"]["w"], 0, Sp),
+                                 1, Sp),
+                  "b": _pad_tail(params["post1"]["b"], 0, Sp)},
+        "post2": {"w": _pad_tail(params["post2"]["w"], 0, Sp),
+                  "b": params["post2"]["b"]},
+    }
+    if "upsampling" in params:
+        p["upsampling"] = params["upsampling"]
+    return p, dataclasses.replace(c, n_resch=Rp, n_skipch=Sp)
 
 
 def _pack_weights(params, config):

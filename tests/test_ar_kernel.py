@@ -152,6 +152,58 @@ def test_pallas_mesh_generate_matches_scan():
     np.testing.assert_array_equal(ref, out)
 
 
+def test_pad_params_forward_bit_exact():
+    """pad_params_for_pallas is inference-transparent: the padded model's
+    logits over the original Q classes are BIT-identical (appended zero
+    rows/columns never perturb a nonzero partial sum)."""
+    from pytorchwavenetvocoder_tpu.models.wavenet import wavenet_forward
+    from pytorchwavenetvocoder_tpu.ops.ar_kernel import (
+        pad_params_for_pallas,
+        pallas_paddable,
+    )
+
+    cfg = small_cfg(n_resch=192, n_skipch=160)  # 192%128=64, 160%128=32
+    assert not supports_pallas_ar(cfg) and pallas_paddable(cfg)
+    params = init_wavenet_params(jax.random.PRNGKey(21), cfg)
+    pp, pc = pad_params_for_pallas(params, cfg)
+    assert (pc.n_resch, pc.n_skipch) == (256, 256)
+    assert supports_pallas_ar(pc)
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randint(0, 256, (2, cfg.receptive_field + 8)),
+                    jnp.int32)
+    h = jnp.asarray(rng.randn(2, x.shape[1], cfg.n_aux), jnp.float32)
+    ref = np.asarray(wavenet_forward(params, cfg, x, h))
+    got = np.asarray(wavenet_forward(pp, pc, x, h))
+    np.testing.assert_array_equal(ref, got)
+    # already-aligned configs pass through untouched
+    cfg2 = small_cfg()
+    params2 = init_wavenet_params(jax.random.PRNGKey(22), cfg2)
+    pp2, pc2 = pad_params_for_pallas(params2, cfg2)
+    assert pp2 is params2 and pc2 is cfg2
+
+
+def test_pallas_padded_channels_match_scan():
+    """A non-128-multiple config decoded through the padded kernel must
+    reproduce the UNPADDED scan decoder exactly (argmax, interpret) —
+    the shim batch_fast_generate applies on TPU for such configs."""
+    from pytorchwavenetvocoder_tpu.ops.ar_kernel import pad_params_for_pallas
+
+    cfg = small_cfg(n_resch=192, n_skipch=160)
+    params = init_wavenet_params(jax.random.PRNGKey(23), cfg)
+    B, n = 4, 20
+    xj, hj = _make(cfg, B, n, seed=7)
+    T0 = xj.shape[1]
+    carry = _warmup_state(params, cfg, xj, hj)
+    ref = np.asarray(_scan_from_state(params, cfg, carry, hj, T0, n,
+                                      "argmax", jax.random.PRNGKey(0)))
+    pp, pc = pad_params_for_pallas(params, cfg)
+    pcarry = _warmup_state(pp, pc, xj, hj)
+    out = np.asarray(pallas_ar_generate(pp, pc, pcarry, hj, T0, n,
+                                        "argmax", jax.random.PRNGKey(0),
+                                        interpret=True))
+    np.testing.assert_array_equal(ref, out)
+
+
 def test_pallas_kernel3_matches_scan():
     """kernel_size 3 (the ljspeech operating point): two taps per layer,
     ring capacity 2d, staging through the oldest tap's slot."""
