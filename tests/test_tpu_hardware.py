@@ -136,6 +136,44 @@ def test_kernel3_matches_scan_on_hardware():
         agree, np.percentile(dist, 95))
 
 
+def test_padded_channels_decode_on_hardware():
+    """Off-128-grid channel counts route through the Pallas kernel via
+    the zero-padding shim (pad_params_for_pallas) on silicon.  Padded
+    logits are bit-equal to the unpadded model's, so the argmax decode
+    should track the scan oracle as closely as the aligned configs do
+    (bf16 warm-up rounding still cascades — assert closeness, not bit
+    equality)."""
+    from pytorchwavenetvocoder_tpu.models.wavenet import (
+        WaveNetConfig,
+        batch_fast_generate,
+        init_wavenet_params,
+    )
+    from pytorchwavenetvocoder_tpu.ops.ar_kernel import (
+        pallas_paddable,
+        supports_pallas_ar,
+    )
+
+    cfg = WaveNetConfig(n_quantize=256, n_aux=28, n_resch=192, n_skipch=160,
+                        dilation_depth=4, dilation_repeat=2, kernel_size=2,
+                        upsampling_factor=0, compute_dtype="bfloat16")
+    assert not supports_pallas_ar(cfg) and pallas_paddable(cfg)
+    params = init_wavenet_params(jax.random.PRNGKey(5), cfg)
+    rng = np.random.RandomState(2)
+    B, n = 8, 300
+    x = np.full((B, 1), 128, np.int32)
+    h = rng.randn(B, cfg.receptive_field + n, cfg.n_aux).astype(np.float32)
+
+    # impl="pallas" on this config only runs through the padding shim
+    out = np.stack(batch_fast_generate(params, cfg, x, h, [n] * B,
+                                       mode="argmax", impl="pallas"))
+    ref = np.stack(batch_fast_generate(params, cfg, x, h, [n] * B,
+                                       mode="argmax", impl="scan"))
+    dist = np.abs(ref.astype(int) - out.astype(int))
+    agree = (ref == out).mean()
+    assert agree > 0.9 or np.percentile(dist, 95) <= 2, (
+        agree, np.percentile(dist, 95))
+
+
 def test_int8_decode_matches_bf16_argmax_mostly():
     """Calibrated-static-scale int8 argmax decode should track the bf16
     decode closely on a smooth model (exact match is not expected)."""
