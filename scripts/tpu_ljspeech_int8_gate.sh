@@ -67,7 +67,7 @@ PYTHONPATH=$PRJ_ROOT:${PYTHONPATH:-} python -m pytorchwavenetvocoder_tpu.bin.dec
     --checkpoint exp/tr_ljspeech_22k_k3gate/checkpoint-final.pkl \
     --config exp/tr_ljspeech_22k_k3gate \
     --outdir exp/tr_ljspeech_22k_k3gate/wav_int8 \
-    --batch_size 16 --quantize --verbose 1
+    --fs 22050 --batch_size 16 --quantize --verbose 1
 
 PYTHONPATH=$PRJ_ROOT:${PYTHONPATH:-} python - <<'EOF'
 import os
