@@ -498,10 +498,12 @@ def _buffer_layout(config: WaveNetConfig):
     return caps, [int(o) for o in offsets], total
 
 
-@partial(jax.jit, static_argnames=("config", "bf16_intermediates"))
+@partial(jax.jit, static_argnames=("config", "bf16_intermediates",
+                                   "collect_act_maxes"))
 def _warmup_state(params: Params, config: WaveNetConfig,
                   x: jnp.ndarray, h_up: jnp.ndarray,
-                  bf16_intermediates: bool = False):
+                  bf16_intermediates: bool = False,
+                  collect_act_maxes: bool = False):
     """Run the teacher-forced forward over the seed region and pack the
     AR carry (ring buffers + sample history) for the scan decoder.
 
@@ -518,6 +520,15 @@ def _warmup_state(params: Params, config: WaveNetConfig,
     (kernel_size > 2 rings hold the raw activations; the int8 Pallas
     decoder re-quantizes them under its static per-layer scales at
     launch — see ops/ar_kernel.py.)
+
+    ``collect_act_maxes=True`` additionally returns the per-layer max
+    |residual-stream| over the whole fleet's seed region ((L,) f32) —
+    the statistic int8 calibration needs (``ops/ar_kernel.py::
+    act_scales_from_maxes``).  The streams are already materialized here
+    per chunk, so collecting the maxes is a free VPU reduce; it replaces
+    the separate ``calibrate_act_scales`` forward pass, which doubled
+    every int8 decode fleet's teacher-forced cost.  The returned value
+    becomes ``(carry, maxes)``.
     """
     c = config
     B, T0 = x.shape
@@ -573,7 +584,15 @@ def _warmup_state(params: Params, config: WaveNetConfig,
             seg_t = jnp.transpose(seg, (1, 0, 2)).astype(buf_dt)
             buf_l = jnp.zeros((cap,) + seg_t.shape[1:], buf_dt).at[pos].set(seg_t)
             parts.append(buf_l)
-        return jnp.concatenate(parts, axis=0)   # (total_cap, Bc, R or 2R)
+        buf = jnp.concatenate(parts, axis=0)    # (total_cap, Bc, R or 2R)
+        if collect_act_maxes:
+            # max |layer input stream| per layer over this chunk's whole
+            # seed region — same statistic as _forward_act_maxes
+            mx = jnp.stack([
+                jnp.max(jnp.abs(streams[l][:, :T0].astype(jnp.float32)))
+                for l in range(L)])
+            return buf, mx
+        return buf
 
     # chunk the teacher-forced warm-up over batch — its activations are
     # O(B * T0 * channels) and blow HBM for big decode fleets otherwise.
@@ -597,24 +616,35 @@ def _warmup_state(params: Params, config: WaveNetConfig,
         chunk = int(max(8, min(
             chunk,
             (budget // max(T0 * stream_bytes_per_row, 1)) // 8 * 8)))
+    maxes = None
     if B <= chunk:
-        act_buf = fill(x, h_up[:, :T0])
+        out = fill(x, h_up[:, :T0])
+        act_buf, maxes = out if collect_act_maxes else (out, None)
     elif B % chunk == 0:
         xc = x.reshape(B // chunk, chunk, T0)
         hc = h_up[:, :T0].reshape(B // chunk, chunk, T0, h_up.shape[2])
-        bufs = lax.map(lambda args: fill(*args), (xc, hc))
+        out = lax.map(lambda args: fill(*args), (xc, hc))
+        bufs, mxs = out if collect_act_maxes else (out, None)
         # (n_chunks, total_cap, chunk, W) -> (total_cap, B, W)
         act_buf = jnp.transpose(bufs, (1, 0, 2, 3)).reshape(
             bufs.shape[1], B, bufs.shape[-1])
+        if collect_act_maxes:
+            maxes = jnp.max(mxs, axis=0)
     else:
-        bufs = [fill(x[b: b + chunk], h_up[b: b + chunk, :T0])
+        outs = [fill(x[b: b + chunk], h_up[b: b + chunk, :T0])
                 for b in range(0, B, chunk)]
-        act_buf = jnp.concatenate(bufs, axis=1)
+        if collect_act_maxes:
+            act_buf = jnp.concatenate([o[0] for o in outs], axis=1)
+            maxes = jnp.max(jnp.stack([o[1] for o in outs]), axis=0)
+        else:
+            act_buf = jnp.concatenate(outs, axis=1)
 
     # ids at positions p-k+1 .. p-1 for the first step (p = T0-1), oldest
     # first; the current-position id rides separately as ``prev``
     sample_hist = x[:, T0 - k: T0 - 1] if k > 1 else jnp.zeros((B, 0), jnp.int32)
-    return act_buf, sample_hist.astype(jnp.int32), x[:, -1].astype(jnp.int32)
+    carry = (act_buf, sample_hist.astype(jnp.int32),
+             x[:, -1].astype(jnp.int32))
+    return (carry, maxes) if collect_act_maxes else carry
 
 
 @partial(jax.jit, static_argnames=("config", "T0", "max_n", "mode"))
@@ -996,15 +1026,29 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
         pl_params = jax.device_put(pl_params, repl) if padded else params
 
     if use_pallas:
-        from pytorchwavenetvocoder_tpu.ops.ar_kernel import (
-            calibrate_act_scales,
-        )
-
-        act_scales = (calibrate_act_scales(pl_params, pl_c, x, h)
-                      if quantize else None)
         wb = (pl_c.dtype == jnp.bfloat16 if warmup_bf16 is None
               else warmup_bf16)
-        carry = _warmup_state(pl_params, pl_c, x, h, bf16_intermediates=wb)
+        act_scales = None
+        if quantize:
+            # int8 calibration rides the warm-up forward: the per-layer
+            # stream maxes are collected from the streams the ring fill
+            # already materializes, instead of a second teacher-forced
+            # pass over the whole fleet (calibrate_act_scales doubled
+            # every int8 fleet's warm-up cost — ~1 s at fleet 256 x
+            # RF 3070).  The warm-up runs bf16 streams, so the maxes
+            # carry bf16 rounding (~0.4% relative) — negligible against
+            # the scale formula's 25% drift headroom.
+            from pytorchwavenetvocoder_tpu.ops.ar_kernel import (
+                act_scales_from_maxes,
+            )
+
+            carry, maxes = _warmup_state(pl_params, pl_c, x, h,
+                                         bf16_intermediates=wb,
+                                         collect_act_maxes=True)
+            act_scales = act_scales_from_maxes(maxes)
+        else:
+            carry = _warmup_state(pl_params, pl_c, x, h,
+                                  bf16_intermediates=wb)
         if mesh is None:
             from pytorchwavenetvocoder_tpu.ops.ar_kernel import (
                 pallas_ar_generate_donate,

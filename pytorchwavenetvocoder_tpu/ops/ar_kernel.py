@@ -219,6 +219,17 @@ def weights_resident(config, B: int, quantize: bool = False) -> bool:
     return pack + working < VMEM_BUDGET_BYTES
 
 
+def act_scales_from_maxes(maxes):
+    """(L,) per-layer max |residual-stream| -> (L, 1) int8 act scales.
+
+    Sized so the teacher-forced range maps into [-127, 127] with 25%
+    headroom for free-running drift past it.  The maxes come from either
+    ``calibrate_act_scales`` (standalone forward) or the warm-up forward
+    itself (``_warmup_state(collect_act_maxes=True)`` — free, since the
+    warm-up already materializes every layer's stream)."""
+    return (1.25 * jnp.maximum(maxes, 1e-3) / 127.0)[:, None]
+
+
 @partial(jax.jit, static_argnames=("config",))
 def calibrate_act_scales(params, config, x, h_up):
     """Static per-layer int8 activation scales from the warmup region.
@@ -252,8 +263,7 @@ def calibrate_act_scales(params, config, x, h_up):
     maxes = jax.lax.map(
         lambda xh: _forward_act_maxes(params, config, xh[0], xh[1]),
         (xb, hb))                      # (nblk, L)
-    maxes = jnp.max(maxes, axis=0)
-    return (1.25 * jnp.maximum(maxes, 1e-3) / 127.0)[:, None]  # (L, 1)
+    return act_scales_from_maxes(jnp.max(maxes, axis=0))  # (L, 1)
 
 
 def aux_lane_layout(config) -> tuple[int, int, int]:

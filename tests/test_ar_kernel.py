@@ -283,3 +283,36 @@ def test_pallas_int8_kernel3_close_to_scan():
     diff = np.abs(ref.astype(int) - out.astype(int))
     assert np.median(diff) <= 2, np.median(diff)
     assert (diff <= 10).mean() > 0.7, (diff.mean(), (diff <= 10).mean())
+
+
+@pytest.mark.parametrize("B", [4, 128, 72])  # single-chunk / lax.map / uneven
+def test_warmup_collected_maxes_match_calibration(B):
+    """_warmup_state(collect_act_maxes=True) must reproduce
+    calibrate_act_scales — the int8 fleet path rides the warm-up forward
+    instead of a second teacher-forced pass, across all three batch-
+    chunking branches of the warm-up."""
+    from pytorchwavenetvocoder_tpu.ops.ar_kernel import (
+        act_scales_from_maxes,
+        calibrate_act_scales,
+    )
+
+    cfg = small_cfg()
+    params = init_wavenet_params(jax.random.PRNGKey(11), cfg)
+    xj, hj = _make(cfg, B, 8, seed=4)
+    ref_scales = np.asarray(calibrate_act_scales(params, cfg, xj, hj))
+    ref_carry = _warmup_state(params, cfg, xj, hj)
+    carry, maxes = _warmup_state(params, cfg, xj, hj,
+                                 collect_act_maxes=True)
+    scales = np.asarray(act_scales_from_maxes(maxes))
+    # f32 warm-up shares the exact op sequence with _forward_act_maxes
+    np.testing.assert_allclose(scales, ref_scales, rtol=1e-6)
+    # collecting maxes must not perturb the carry
+    for a, b in zip(jax.tree_util.tree_leaves(carry),
+                    jax.tree_util.tree_leaves(ref_carry)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the bf16 warm-up's maxes carry only bf16 rounding
+    _, maxes_bf16 = _warmup_state(params, cfg, xj, hj,
+                                  bf16_intermediates=True,
+                                  collect_act_maxes=True)
+    np.testing.assert_allclose(np.asarray(act_scales_from_maxes(maxes_bf16)),
+                               ref_scales, rtol=2e-2)
