@@ -316,3 +316,23 @@ def test_warmup_collected_maxes_match_calibration(B):
                                   collect_act_maxes=True)
     np.testing.assert_allclose(np.asarray(act_scales_from_maxes(maxes_bf16)),
                                ref_scales, rtol=2e-2)
+
+
+def test_warmup_collected_maxes_sharded_matches_unsharded():
+    """The int8 fleet path collects act maxes inside the warm-up even
+    when the fleet is sharded over the mesh (batch_fast_generate's
+    mesh + quantize branch): GSPMD must reduce the per-shard maxes to
+    the same global scales the unsharded call produces."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pytorchwavenetvocoder_tpu.parallel import make_mesh
+
+    cfg = small_cfg()
+    params = init_wavenet_params(jax.random.PRNGKey(13), cfg)
+    xj, hj = _make(cfg, 16, 8, seed=6)
+    _, ref = _warmup_state(params, cfg, xj, hj, collect_act_maxes=True)
+    mesh = make_mesh(8)
+    xs = jax.device_put(xj, NamedSharding(mesh, P("data")))
+    hs = jax.device_put(hj, NamedSharding(mesh, P("data")))
+    _, mx = _warmup_state(params, cfg, xs, hs, collect_act_maxes=True)
+    np.testing.assert_allclose(np.asarray(mx), np.asarray(ref), rtol=1e-6)
