@@ -139,6 +139,40 @@ def main(argv=None) -> None:
     )
 
     os.makedirs(args.outdir, exist_ok=True)
+
+    # Overlap host work with the device AR scan: feature loading for the
+    # NEXT batch runs on the prefetch thread while the current fleet
+    # decodes, and mu-law inverse + wav writing for the PREVIOUS batch
+    # runs on a bounded writer thread (the reference decodes and writes
+    # strictly serially per batch, decode.py:312-327).
+    import queue as _queue
+    import threading as _threading
+
+    from pytorchwavenetvocoder_tpu.utils import BackgroundGenerator
+
+    generator = BackgroundGenerator(generator, max_prefetch=2)
+    write_q: _queue.Queue = _queue.Queue(2)
+    write_exc: list[BaseException] = []
+
+    def _writer():
+        while True:
+            item = write_q.get()
+            if item is None:
+                return
+            feat_ids_w, samples_w = item
+            try:
+                for feat_id, samples in zip(feat_ids_w, samples_w):
+                    wav = decode_mu_law(samples, config.n_quantize)
+                    path = os.path.join(args.outdir, feat_id + ".wav")
+                    write_wav(path, wav.astype(np.float32), args.fs)
+                    logging.info("wrote %s (%d samples)", path, len(wav))
+            except BaseException as e:  # surface on the main thread
+                write_exc.append(e)
+                return
+
+    writer = _threading.Thread(target=_writer, daemon=True)
+    writer.start()
+
     rng = jax.random.PRNGKey(args.seed)
     for feat_ids, (x, h, n_samples) in generator:
         if not isinstance(feat_ids, list):
@@ -163,11 +197,20 @@ def main(argv=None) -> None:
         logging.info("batch of %d utts: %d samples in %.2f s "
                      "(%.1f samples/sec, RTF x%.2f)", B, n_gen, elapsed,
                      n_gen / elapsed, n_gen / elapsed / args.fs)
-        for feat_id, samples in zip(feat_ids, samples_list[:B]):
-            wav = decode_mu_law(samples, config.n_quantize)
-            path = os.path.join(args.outdir, feat_id + ".wav")
-            write_wav(path, wav.astype(np.float32), args.fs)
-            logging.info("wrote %s (%d samples)", path, len(wav))
+        queued = False
+        while not queued and not write_exc:
+            try:  # never block forever on a dead writer
+                write_q.put((feat_ids, samples_list[:B]), timeout=1.0)
+                queued = True
+            except _queue.Full:
+                pass
+        if write_exc:
+            break
+
+    write_q.put(None)
+    writer.join()
+    if write_exc:
+        raise write_exc[0]
 
 
 if __name__ == "__main__":

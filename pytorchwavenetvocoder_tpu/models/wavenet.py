@@ -1025,6 +1025,20 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
         params = jax.device_put(params, repl)
         pl_params = jax.device_put(pl_params, repl) if padded else params
 
+    # Mosaic HBM memref slices must be tile-aligned along the batch dim:
+    # a fleet whose B is not a multiple of 8 (e.g. the TAIL batch of a
+    # decode corpus, or a single utterance) fails kernel compilation with
+    # "Slice shape along dimension 1 must be aligned to tiling".  Pad the
+    # fleet by duplicating the last row (masked out of the returned list;
+    # at small B the kernel is dependent-chain-bound, so the pad rows are
+    # ~free) — 8 covers the bf16 (4,128) packed tiling and is the batch
+    # granularity proven on silicon (tests/test_tpu_hardware.py).
+    B_orig = x.shape[0]
+    if use_pallas and mesh is None and B_orig % 8:
+        pad_B = 8 - B_orig % 8
+        x = jnp.concatenate([x, jnp.repeat(x[-1:], pad_B, axis=0)], axis=0)
+        h = jnp.concatenate([h, jnp.repeat(h[-1:], pad_B, axis=0)], axis=0)
+
     if use_pallas:
         wb = (pl_c.dtype == jnp.bfloat16 if warmup_bf16 is None
               else warmup_bf16)
@@ -1088,6 +1102,7 @@ def batch_fast_generate(params: Params, config: WaveNetConfig,
         samples = _scan_generate(params, config, x, h, max_n, mode, rng,
                                  intervals=intervals,
                                  warmup_bf16=bool(warmup_bf16))
+    samples = samples[:B_orig]  # drop tile-alignment pad rows
     if config.n_quantize <= 256:
         # mu-law ids fit uint8: shrink the device->host copy 4x (the
         # fleet output is B x max_n int32 on device — 49 MB at fleet

@@ -404,3 +404,39 @@ def test_fleet_512x48k_decodes_within_hbm():
     assert all(len(o) == n for o in outs)
     # a trained-free net still must emit varied mu-law ids, not a constant
     assert len(np.unique(np.stack(outs[:8]))) > 16
+
+
+def test_tail_batch_unaligned_fleet_decodes():
+    """Fleet sizes off the 8-row tile grid (a decode corpus's TAIL batch,
+    or a single utterance) must decode through the Pallas path: Mosaic
+    rejects HBM slices whose batch extent is not tile-aligned ("Slice
+    shape along dimension 1 must be aligned to tiling"), so
+    batch_fast_generate pads the fleet to a multiple of 8 and drops the
+    pad rows.  Argmax output per utterance must be identical to the same
+    utterances decoded inside an aligned fleet (lockstep masking makes
+    rows independent)."""
+    from pytorchwavenetvocoder_tpu.models.wavenet import (
+        WaveNetConfig,
+        batch_fast_generate,
+        init_wavenet_params,
+    )
+
+    cfg = WaveNetConfig(n_quantize=256, n_aux=28, n_resch=128, n_skipch=128,
+                        dilation_depth=4, dilation_repeat=2, kernel_size=2,
+                        upsampling_factor=0, compute_dtype="bfloat16")
+    params = init_wavenet_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.RandomState(4)
+    n = 300
+    x8 = np.full((8, 1), 128, np.int32)
+    h8 = rng.randn(8, cfg.receptive_field + n, cfg.n_aux).astype(np.float32)
+    ref = batch_fast_generate(params, cfg, x8, h8, [n] * 8, mode="argmax",
+                              impl="pallas")
+    for B in (1, 3):  # single utterance / tail batch
+        out = batch_fast_generate(params, cfg, x8[:B], h8[:B], [n] * B,
+                                  mode="argmax", impl="pallas")
+        for b in range(B):
+            np.testing.assert_array_equal(out[b], ref[b])
+    # int8 path pads the same way (static scales from the padded warm-up)
+    q = batch_fast_generate(params, cfg, x8[:3], h8[:3], [n] * 3,
+                            mode="argmax", impl="pallas", quantize=True)
+    assert len(q) == 3 and all(len(s) == n for s in q)
